@@ -1,0 +1,144 @@
+"""Symbol translation: ASCII sequences -> internal integer codes.
+
+TPU-native counterpart of the reference's ``src/util/util_sequence.c``
+(SURVEY.md §2 "Symbol translation"; reference mount empty — behavior follows
+the documented capabilities: map ASCII to internal codes for the nucleotide /
+amino-acid alphabets, reverse-complement for REVERSE/BOTH strand search, and
+genetic-code translation for translated search modes).
+
+Internal code spaces
+--------------------
+* Amino acids: 24 codes in NCBI substitution-matrix order
+  ``ARNDCQEGHILKMFPSTWYVBZX*`` (A=0 ... *=23). Unknown letters (including
+  U=selenocysteine, O=pyrrolysine, J) map to X.
+* Nucleotides: 15 IUPAC codes ``ACGTRYSWKMBDHVN`` (A=0 ... N=14); U maps to
+  T, unknown letters map to N.
+
+All translation is table-driven NumPy (vectorized ``np.take`` over uint8
+views) so multi-megabyte databases translate at memory bandwidth.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .constants import AA_ALPHABET, NT_ALPHABET, SymType
+
+# ---------------------------------------------------------------------------
+# Code tables
+# ---------------------------------------------------------------------------
+
+AA_CODES = {c: i for i, c in enumerate(AA_ALPHABET)}
+NT_CODES = {c: i for i, c in enumerate(NT_ALPHABET)}
+AA_X = AA_CODES["X"]
+NT_N = NT_CODES["N"]
+
+
+def _build_ascii_table(codes: dict, default: int, extra: dict) -> np.ndarray:
+    table = np.full(256, default, dtype=np.uint8)
+    for ch, code in codes.items():
+        table[ord(ch)] = code
+        table[ord(ch.lower())] = code
+    for ch, code in extra.items():
+        table[ord(ch)] = code
+        table[ord(ch.lower())] = code
+    return table
+
+
+# U (Sec) and O (Pyl) and J (I/L) have no column in the classic NCBI matrices:
+# map to X like BLAST does for unknowns.
+_AA_TABLE = _build_ascii_table(AA_CODES, AA_X, {"U": AA_X, "O": AA_X, "J": AA_X})
+_NT_TABLE = _build_ascii_table(NT_CODES, NT_N, {"U": NT_CODES["T"]})
+
+# IUPAC complement in code space: A<->T, C<->G, R<->Y, S<->S, W<->W, K<->M,
+# B<->V, D<->H, N<->N.
+_NT_COMPLEMENT = np.array(
+    [
+        NT_CODES[c]
+        for c in ["T", "G", "C", "A", "Y", "R", "S", "W", "M", "K", "V", "H", "D", "B", "N"]
+    ],
+    dtype=np.uint8,
+)
+
+# ---------------------------------------------------------------------------
+# Translation
+# ---------------------------------------------------------------------------
+
+
+def encode(seq: str | bytes, symtype: SymType) -> np.ndarray:
+    """ASCII sequence -> internal uint8 codes (whitespace/digits stripped)."""
+    if isinstance(seq, str):
+        seq = seq.encode("ascii", errors="replace")
+    raw = np.frombuffer(seq, dtype=np.uint8)
+    # Strip anything that is not a letter or '*' (FASTA bodies may contain
+    # whitespace, digits, or '-' gaps; the reference strips these on read).
+    letter = ((raw >= 65) & (raw <= 90)) | ((raw >= 97) & (raw <= 122)) | (raw == ord("*"))
+    raw = raw[letter]
+    table = _AA_TABLE if symtype is SymType.AMINOACID else _NT_TABLE
+    return table[raw]
+
+
+def decode(codes: np.ndarray, symtype: SymType) -> str:
+    alpha = AA_ALPHABET if symtype is SymType.AMINOACID else NT_ALPHABET
+    lut = np.frombuffer(alpha.encode(), dtype=np.uint8)
+    return np.take(lut, codes).tobytes().decode("ascii")
+
+
+def reverse_complement(codes: np.ndarray) -> np.ndarray:
+    """Reverse-complement a nucleotide code sequence (REVERSE/BOTH strands)."""
+    return _NT_COMPLEMENT[codes][::-1].copy()
+
+
+# ---------------------------------------------------------------------------
+# Genetic-code translation (translated search modes)
+# ---------------------------------------------------------------------------
+# NCBI translation tables, given as the 64-codon amino-acid string in TTT,
+# TTC, TTA, TTG, CTT, ... order (base order T, C, A, G — the NCBI standard).
+
+_NCBI_TABLES = {
+    1: "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",  # standard
+    2: "FFLLSSSSYY**CCWWLLLLPPPPHHQQRRRRIIMMTTTTNNKKSS**VVVVAAAADDEEGGGG",  # vertebrate mito
+    3: "FFLLSSSSYY**CCWWTTTTPPPPHHQQRRRRIIMMTTTTNNKKSSRRVVVVAAAADDEEGGGG",  # yeast mito
+    4: "FFLLSSSSYY**CCWWLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",  # mold/protozoan mito
+    5: "FFLLSSSSYY**CCWWLLLLPPPPHHQQRRRRIIMMTTTTNNKKSSSSVVVVAAAADDEEGGGG",  # invertebrate mito
+    11: "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",  # bacterial
+}
+
+_TCAG = "TCAG"
+_NT_TO_TCAG = np.full(16, -1, dtype=np.int8)
+for _i, _b in enumerate(_TCAG):
+    _NT_TO_TCAG[NT_CODES[_b]] = _i
+
+
+def genetic_code_table(gencode: int = 1) -> np.ndarray:
+    """64-entry codon -> amino-acid-code table for an NCBI genetic code."""
+    if gencode not in _NCBI_TABLES:
+        raise ValueError(f"unsupported genetic code {gencode}; have {sorted(_NCBI_TABLES)}")
+    aa = _NCBI_TABLES[gencode]
+    return np.array([AA_CODES[c] for c in aa], dtype=np.uint8)
+
+
+def translate(codes: np.ndarray, gencode: int = 1) -> np.ndarray:
+    """Translate nucleotide codes (frame 0) into amino-acid codes.
+
+    Codons containing ambiguity codes translate to X, matching the
+    reference's handling of ambiguous bases in translated searches.
+    """
+    table = genetic_code_table(gencode)
+    n = len(codes) // 3
+    if n == 0:
+        return np.zeros(0, dtype=np.uint8)
+    tri = codes[: n * 3].reshape(n, 3)
+    idx = _NT_TO_TCAG[tri]
+    ambiguous = (idx < 0).any(axis=1)
+    codons = np.where(ambiguous, 0, idx[:, 0] * 16 + idx[:, 1] * 4 + idx[:, 2])
+    out = table[codons]
+    out[ambiguous] = AA_X
+    return out
+
+
+def six_frames(codes: np.ndarray, gencode: int = 1) -> list[np.ndarray]:
+    """All six translated reading frames (3 forward, 3 reverse-complement)."""
+    rc = reverse_complement(codes)
+    return [translate(codes[f:], gencode) for f in range(3)] + [
+        translate(rc[f:], gencode) for f in range(3)
+    ]
