@@ -1,0 +1,227 @@
+"""Packed sequence database: the search-time representation of a FASTA DB.
+
+Reference counterpart: libsdb + ``src/db_adapter.c`` (SURVEY.md §2) serve
+sequence chunks to worker threads, re-parsing FASTA every run. The TPU-native
+design upgrades this into a *persistent preprocessed format* (SURVEY.md §5
+"Checkpoint/resume" analogue): sequences are symbol-packed once into flat
+arrays, length-sorted for batch density, and cached as ``.npz`` next to the
+FASTA so subsequent runs skip parsing entirely.
+
+Batching model
+--------------
+TPU kernels want static shapes and dense lanes. ``chunks()`` yields batches
+of ``batch_size`` subjects, taken in ascending length order so each batch's
+padded length is close to its mean length (padding waste is what separates
+realized GCUPS from peak — SURVEY.md §7 "Ragged DB batching"). Padded
+lengths are rounded up to a bucket multiple so XLA compiles a handful of
+shapes, not one per batch.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+from dataclasses import dataclass
+from collections.abc import Iterator
+
+import numpy as np
+
+from ..constants import PADDED_ALPHABET, SymType
+from . import fasta
+
+PAD_CODE = PADDED_ALPHABET - 1  # scores -64 vs everything via ScoreMatrix.padded()
+
+_CACHE_VERSION = 2
+
+
+@dataclass(frozen=True)
+class Chunk:
+    """One padded batch of subjects ready for a device kernel."""
+
+    codes: np.ndarray  # (B, n_pad) uint8, PAD_CODE beyond each length
+    lengths: np.ndarray  # (B,) int32, 0 for pure-padding lanes
+    seq_ids: np.ndarray  # (B,) int32 original DB indices, -1 for padding lanes
+
+
+class SequenceDB:
+    """An in-memory packed database of encoded sequences."""
+
+    def __init__(
+        self,
+        codes: np.ndarray,
+        offsets: np.ndarray,
+        lengths: np.ndarray,
+        headers: list[str],
+        symtype: SymType,
+    ):
+        self.codes = np.ascontiguousarray(codes, dtype=np.uint8)
+        self.offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+        self.lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+        self.headers = list(headers)
+        self.symtype = symtype
+        if not (len(self.offsets) == len(self.lengths) == len(self.headers)):
+            raise ValueError("inconsistent packed DB arrays")
+        # ascending-length order used for batching (stable -> deterministic)
+        self._order = np.argsort(self.lengths, kind="stable").astype(np.int32)
+
+    # -- construction -----------------------------------------------------
+
+    @classmethod
+    def from_sequences(
+        cls, headers: list[str], seqs: list[np.ndarray], symtype: SymType
+    ) -> "SequenceDB":
+        lengths = np.array([len(s) for s in seqs], dtype=np.int32)
+        offsets = np.zeros(len(seqs), dtype=np.int64)
+        if len(seqs):
+            np.cumsum(lengths[:-1], out=offsets[1:])
+        codes = (
+            np.concatenate([np.asarray(s, dtype=np.uint8) for s in seqs])
+            if seqs
+            else np.zeros(0, dtype=np.uint8)
+        )
+        return cls(codes, offsets, lengths, headers, symtype)
+
+    @classmethod
+    def from_fasta(
+        cls, path_or_text: str, symtype: SymType, use_cache: bool = True
+    ) -> "SequenceDB":
+        """Load a FASTA database, using/creating the packed ``.npz`` cache.
+
+        The cache is keyed on file size + mtime + symtype; a stale cache is
+        rebuilt transparently.
+        """
+        is_file = os.path.exists(path_or_text)
+        if is_file and use_cache:
+            cache = cls._cache_path(path_or_text, symtype)
+            key = cls._cache_key(path_or_text, symtype)
+            if os.path.exists(cache):
+                try:
+                    with np.load(cache, allow_pickle=False) as z:
+                        if (
+                            int(z["version"]) == _CACHE_VERSION
+                            and str(z["key"]) == key
+                        ):
+                            headers = [h.decode() for h in z["headers"].tobytes().split(b"\x00")[:-1]]
+                            return cls(z["codes"], z["offsets"], z["lengths"], headers, symtype)
+                except Exception:
+                    pass  # corrupt/stale cache: rebuild below
+        db = cls._parse(path_or_text, symtype)
+        if is_file and use_cache:
+            db.save_cache(cls._cache_path(path_or_text, symtype), cls._cache_key(path_or_text, symtype))
+        return db
+
+    @classmethod
+    def _parse(cls, path_or_text: str, symtype: SymType) -> "SequenceDB":
+        from .native import parse_fasta_native  # deferred: optional C++ path
+
+        parsed = parse_fasta_native(path_or_text, symtype)
+        if parsed is not None:
+            return cls(*parsed, symtype=symtype)
+        headers, seqs = fasta.read_fasta_encoded(path_or_text, symtype)
+        return cls.from_sequences(headers, seqs, symtype)
+
+    @staticmethod
+    def _cache_path(path: str, symtype: SymType) -> str:
+        return f"{path}.{symtype.value}.ssadb.npz"
+
+    @staticmethod
+    def _cache_key(path: str, symtype: SymType) -> str:
+        st = os.stat(path)
+        h = hashlib.sha256(
+            f"{st.st_size}:{st.st_mtime_ns}:{symtype.value}".encode()
+        ).hexdigest()
+        return h
+
+    def save_cache(self, path: str, key: str = "") -> None:
+        headers_blob = np.frombuffer(
+            b"".join(h.encode() + b"\x00" for h in self.headers) or b"\x00"[:0],
+            dtype=np.uint8,
+        )
+        try:
+            np.savez_compressed(
+                path,
+                version=_CACHE_VERSION,
+                key=key,
+                codes=self.codes,
+                offsets=self.offsets,
+                lengths=self.lengths,
+                headers=headers_blob,
+            )
+        except OSError:
+            pass  # read-only dir: cache is best-effort
+
+    # -- accessors --------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.lengths)
+
+    @property
+    def total_residues(self) -> int:
+        return int(self.lengths.sum())
+
+    @property
+    def max_length(self) -> int:
+        return int(self.lengths.max()) if len(self) else 0
+
+    def sequence(self, i: int) -> np.ndarray:
+        o, n = int(self.offsets[i]), int(self.lengths[i])
+        return self.codes[o : o + n]
+
+    def shard(self, index: int, count: int) -> "SequenceDB":
+        """Strided sub-database for multi-host sharding (SURVEY.md §2 P5).
+
+        Strided (not blocked) so every shard sees the full length
+        distribution — keeps per-shard padding waste and runtime balanced.
+        """
+        ids = np.arange(index, len(self), count)
+        return SequenceDB.from_sequences(
+            [self.headers[i] for i in ids],
+            [self.sequence(i) for i in ids],
+            self.symtype,
+        )
+
+    # -- batching ---------------------------------------------------------
+
+    def chunks(
+        self,
+        batch_size: int,
+        length_multiple: int = 32,
+        max_length: int | None = None,
+    ) -> Iterator[Chunk]:
+        """Yield length-sorted padded batches covering the whole DB.
+
+        Subjects longer than ``max_length`` (if given) are *not* yielded
+        here; fetch them via ``long_sequence_ids`` for the wavefront path.
+        """
+        order = self._order
+        if max_length is not None:
+            order = order[self.lengths[order] <= max_length]
+        for start in range(0, len(order), batch_size):
+            ids = order[start : start + batch_size]
+            n = int(self.lengths[ids].max()) if len(ids) else 0
+            n_pad = max(length_multiple, -(-n // length_multiple) * length_multiple)
+            codes = np.full((batch_size, n_pad), PAD_CODE, dtype=np.uint8)
+            lengths = np.zeros(batch_size, dtype=np.int32)
+            seq_ids = np.full(batch_size, -1, dtype=np.int32)
+            for lane, sid in enumerate(ids):
+                seq = self.sequence(int(sid))
+                codes[lane, : len(seq)] = seq
+                lengths[lane] = len(seq)
+                seq_ids[lane] = sid
+            yield Chunk(codes=codes, lengths=lengths, seq_ids=seq_ids)
+
+    def long_sequence_ids(self, max_length: int) -> np.ndarray:
+        return np.nonzero(self.lengths > max_length)[0].astype(np.int32)
+
+    def subset(self, seq_ids: np.ndarray) -> "SequenceDB":
+        """Sub-database preserving original ids via ``subset_ids`` mapping.
+
+        Used by the precision ladder: re-score only overflowed subjects
+        (SURVEY.md §3.2 "restrict DB view to overflowed ids").
+        """
+        sub = SequenceDB.from_sequences(
+            [self.headers[i] for i in seq_ids],
+            [self.sequence(int(i)) for i in seq_ids],
+            self.symtype,
+        )
+        sub.subset_ids = np.asarray(seq_ids, dtype=np.int32)
+        return sub

@@ -1,0 +1,162 @@
+"""FASTA / packed-DB tests (reference: db_adapter + libsdb behavior)."""
+import numpy as np
+import pytest
+
+from libssa_tpu import alphabet
+from libssa_tpu.constants import SymType
+from libssa_tpu.io import fasta
+from libssa_tpu.io.db import PAD_CODE, SequenceDB
+from libssa_tpu.io.native import native_available, parse_fasta_native
+
+FASTA_TEXT = """>seq1 first record
+MKVLAAGW
+KQTE
+>seq2
+ACDEFGHIKLMNPQRSTVWY
+
+>seq3 empty is legal
+"""
+
+
+def test_iter_fasta_text():
+    recs = list(fasta.iter_fasta(FASTA_TEXT))
+    assert [h for h, _ in recs] == ["seq1 first record", "seq2", "seq3 empty is legal"]
+    assert recs[0][1] == "MKVLAAGWKQTE"
+    assert recs[1][1] == "ACDEFGHIKLMNPQRSTVWY"
+    assert recs[2][1] == ""
+
+
+def test_iter_fasta_file(tmp_path):
+    p = tmp_path / "db.fas"
+    p.write_text(FASTA_TEXT)
+    assert list(fasta.iter_fasta(str(p))) == list(fasta.iter_fasta(FASTA_TEXT))
+
+
+def test_iter_fasta_rejects_headerless(tmp_path):
+    p = tmp_path / "bad.fas"
+    p.write_text("MKVL\n>late header\nACDE\n")
+    with pytest.raises(ValueError):
+        list(fasta.iter_fasta(str(p)))
+
+
+def test_iter_fasta_not_a_file():
+    with pytest.raises(FileNotFoundError):
+        list(fasta.iter_fasta("/nonexistent/path.fas"))
+
+
+def _mkdb(n=10, seed=0, minlen=3, maxlen=40):
+    rng = np.random.default_rng(seed)
+    seqs = [
+        rng.integers(0, 20, int(rng.integers(minlen, maxlen))).astype(np.uint8)
+        for _ in range(n)
+    ]
+    headers = [f"s{i}" for i in range(n)]
+    return SequenceDB.from_sequences(headers, seqs, SymType.AMINOACID), seqs
+
+
+class TestSequenceDB:
+    def test_pack_roundtrip(self):
+        db, seqs = _mkdb()
+        assert len(db) == len(seqs)
+        for i, s in enumerate(seqs):
+            np.testing.assert_array_equal(db.sequence(i), s)
+        assert db.total_residues == sum(len(s) for s in seqs)
+
+    def test_chunks_cover_all_sequences(self):
+        db, seqs = _mkdb(23)
+        seen = []
+        for chunk in db.chunks(batch_size=8, length_multiple=16):
+            assert chunk.codes.shape[0] == 8
+            assert chunk.codes.shape[1] % 16 == 0
+            for lane in range(8):
+                sid = int(chunk.seq_ids[lane])
+                if sid < 0:
+                    assert chunk.lengths[lane] == 0
+                    continue
+                seen.append(sid)
+                n = int(chunk.lengths[lane])
+                np.testing.assert_array_equal(chunk.codes[lane, :n], seqs[sid])
+                assert (chunk.codes[lane, n:] == PAD_CODE).all()
+        assert sorted(seen) == list(range(23))
+
+    def test_chunks_length_sorted(self):
+        db, _ = _mkdb(50)
+        maxima = [c.lengths.max() for c in db.chunks(batch_size=8)]
+        assert maxima == sorted(maxima)
+
+    def test_shards_partition(self):
+        db, _ = _mkdb(17)
+        shards = [db.shard(i, 4) for i in range(4)]
+        assert sum(len(s) for s in shards) == 17
+        all_headers = sorted(h for s in shards for h in s.headers)
+        assert all_headers == sorted(db.headers)
+
+    def test_subset_tracks_ids(self):
+        db, seqs = _mkdb(12)
+        ids = np.array([3, 7, 11], dtype=np.int32)
+        sub = db.subset(ids)
+        np.testing.assert_array_equal(sub.subset_ids, ids)
+        np.testing.assert_array_equal(sub.sequence(1), seqs[7])
+
+    def test_long_sequence_split(self):
+        db, seqs = _mkdb(30, maxlen=100)
+        cut = 50
+        long_ids = db.long_sequence_ids(cut)
+        short = [
+            int(s)
+            for c in db.chunks(4, max_length=cut)
+            for s in c.seq_ids
+            if s >= 0
+        ]
+        assert sorted(short + list(long_ids)) == list(range(30))
+
+    def test_cache_roundtrip(self, tmp_path):
+        recs = [("a b", "MKVL"), ("c", "WWWW"), ("d", "")]
+        p = tmp_path / "db.fas"
+        fasta.write_fasta(str(p), recs)
+        db1 = SequenceDB.from_fasta(str(p), SymType.AMINOACID)
+        cache = SequenceDB._cache_path(str(p), SymType.AMINOACID)
+        import os
+
+        assert os.path.exists(cache)
+        db2 = SequenceDB.from_fasta(str(p), SymType.AMINOACID)
+        assert db2.headers == db1.headers == ["a b", "c", "d"]
+        np.testing.assert_array_equal(db1.codes, db2.codes)
+        np.testing.assert_array_equal(db1.lengths, db2.lengths)
+
+
+@pytest.mark.skipif(not native_available(), reason="native libfastadb.so not built")
+class TestNativeParser:
+    def test_native_matches_python(self, tmp_path):
+        rng = np.random.default_rng(3)
+        recs = []
+        for i in range(50):
+            n = int(rng.integers(0, 200))
+            seq = "".join(rng.choice(list("ARNDCQEGHILKMFPSTWYVBZX*"), n))
+            recs.append((f"seq{i} desc with spaces {i}", seq))
+        p = tmp_path / "db.fas"
+        fasta.write_fasta(str(p), recs, width=37)
+        got = parse_fasta_native(str(p), SymType.AMINOACID)
+        assert got is not None
+        codes, offsets, lengths, headers = got
+        py_headers, py_seqs = fasta.read_fasta_encoded(str(p), SymType.AMINOACID)
+        assert headers == py_headers
+        np.testing.assert_array_equal(lengths, [len(s) for s in py_seqs])
+        db = SequenceDB(codes, offsets, lengths, headers, SymType.AMINOACID)
+        for i, s in enumerate(py_seqs):
+            np.testing.assert_array_equal(db.sequence(i), s)
+
+    def test_native_empty_file(self, tmp_path):
+        p = tmp_path / "empty.fas"
+        p.write_text("")
+        codes, offsets, lengths, headers = parse_fasta_native(str(p), SymType.AMINOACID)
+        assert len(lengths) == 0 and len(codes) == 0
+
+    def test_native_used_by_from_fasta(self, tmp_path):
+        p = tmp_path / "db.fas"
+        fasta.write_fasta(str(p), [("h1", "MKVL"), ("h2", "ACDE")])
+        db = SequenceDB.from_fasta(str(p), SymType.AMINOACID, use_cache=False)
+        assert db.headers == ["h1", "h2"]
+        np.testing.assert_array_equal(
+            db.sequence(0), alphabet.encode("MKVL", SymType.AMINOACID)
+        )
