@@ -1,0 +1,76 @@
+"""Benchmark: SW affine-gap BLOSUM62 database search GCUPS on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no benchmark numbers in-repo (BASELINE.md — the
+mount was empty and BASELINE.json has published:{}), so ``vs_baseline``
+normalizes against the ~100 GCUPS-class throughput of the reference's
+algorithm family on contemporary multi-core x86 (SWIPE lineage literature,
+PAPERS.md) — the best available stand-in for "the reference's headline
+number" until a real measurement exists.
+"""
+import json
+import time
+
+import numpy as np
+
+BASELINE_GCUPS = 100.0  # SWIPE-class multi-core x86, see PAPERS.md
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from libssa_tpu import matrices
+    from libssa_tpu.io.db import PAD_CODE
+    from libssa_tpu.ops.scoring import make_profile
+    from libssa_tpu.search import kernels
+
+    rng = np.random.default_rng(0)
+    padded = matrices.builtin("BLOSUM62").padded()
+
+    # Realistic protein search shapes: 256-residue query, 512-residue
+    # subjects, large batch. All lanes full-length (pad waste is a DB/batch
+    # property, not a kernel property; the manager's length-sorting keeps
+    # real sweeps close to this).
+    m, B, n = 256, 2048, 512
+    q = rng.integers(0, 20, m).astype(np.uint8)
+    profile = jnp.asarray(make_profile(q, padded), jnp.int32)
+    subjects_T = jnp.asarray(rng.integers(0, 20, (n, B)), jnp.int32)
+    lengths = jnp.full((B,), n, jnp.int32)
+    gq, gr = jnp.int32(11), jnp.int32(1)
+
+    fn = kernels.best_kernel()
+
+    def run():
+        s, hi, lo = fn(
+            profile, subjects_T, lengths, gq, gr,
+            local=True, use_matmul=True, track_range=True, dtype=jnp.float32,
+        )
+        # NOTE: sync via device-to-host copy. Under the axon tunnel,
+        # block_until_ready() returns before compute finishes (verified:
+        # timings shrank with iteration count); np.asarray is a true fence.
+        return np.asarray(s)
+
+    run()  # compile + warm
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    dt = (time.perf_counter() - t0) / iters
+
+    gcups = m * B * n / dt / 1e9
+    print(
+        json.dumps(
+            {
+                "metric": "GCUPS/chip (SW affine, BLOSUM62)",
+                "value": round(gcups, 2),
+                "unit": "GCUPS",
+                "vs_baseline": round(gcups / BASELINE_GCUPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,227 @@
+"""Inter-sequence batched SW/NW scoring — the database-search workhorse.
+
+This is the TPU-native redesign of the reference's SWIPE-style 8/16-bit SIMD
+kernels (``src/algo/8|16/search_*`` per SURVEY.md §2): score a batch of B
+subjects against one query simultaneously, one subject per vector lane.
+
+Why this shape, and why it is NOT a translation of the CPU kernel
+-----------------------------------------------------------------
+The CPU reference walks the query sequentially (i = 1..m) inside each
+subject step, doing a 16/32-lane SIMD op per cell row — fine when the vector
+unit is 128 bits wide, hopeless on a TPU whose VPU wants (8, 128) tiles and
+whose compiler wants one big fused loop body. Instead we vectorize the
+ENTIRE DP column over the query dimension:
+
+* The E recurrence is horizontal (depends only on the previous column) —
+  trivially elementwise over i.
+* The diagonal H term is a shift of the previous column — elementwise.
+* The F recurrence is the only vertical dependency. We use the classical
+  lazy-F identity: once gap-open >= gap-extend, a gap extended *through* an
+  F-derived cell is never better than extending the gap directly, so
+
+      F[i] = max_{k < i} ( Hnof[k] - Q - (i-1-k) * R )
+
+  over the no-F column Hnof is EXACT. With W[k] = Hnof[k] + k*R this is a
+  running max: F[i] = cummax(W)[i-1] - Q - (i-1)*R — one
+  ``associative_scan`` over the column, log2(m) vector passes, no
+  sequential loop. (Proof sketch: if H[k] = F[k] > Hnof[k], the candidate
+  H[k] - Q = F[k] - Q <= F[k] - R is already dominated by the pure
+  extension path; see tests/test_interseq.py for the bit-exactness lock
+  against the scalar oracle.)
+
+The per-step score column sub(q[i], s_t[b]) is ``profile @ onehot(s_t)`` —
+an (m, 32) x (32, B) int matmul on the MXU, replacing the reference's SSE
+shuffle dprofile gather; the MXU is otherwise idle in this workload so the
+gather is effectively free.
+
+Precision ladder
+----------------
+All arithmetic is exact int32 (the TPU VPU's native word). The reference's
+8/16-bit saturating kernels exist to pack more lanes per SIMD register; a
+TPU lane is 32-bit either way, so narrow arithmetic buys nothing on the VPU
+— instead the ladder semantics (SURVEY.md §2 P4) are preserved by
+*flagging* any lane whose running score range leaves the width's
+representable window ([0, 255] biased-unsigned for 8-bit, +/-32767 for
+16-bit) and letting the manager re-score flagged subjects at the next rung,
+which reproduces the reference pipeline's observable behavior with
+bit-identical final scores.
+
+Gap convention: Q = open + extend is charged for a gap's first residue, R =
+extend for each further residue (see oracle.gap_qr).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import PADDED_ALPHABET
+
+NEG32 = jnp.int32(-(2**30))  # -inf surrogate, safe from int32 underflow
+
+
+def _profile_column(profile_full, profile_mxu, s_t, use_matmul: bool, dtype):
+    """Scores sub(q[i], s_t[b]) as (m, B) in the DP dtype."""
+    if use_matmul:
+        onehot = (
+            s_t[None, :] == jax.lax.broadcasted_iota(jnp.int32, (PADDED_ALPHABET, 1), 0)
+        ).astype(profile_mxu.dtype)
+        return jax.lax.dot_general(
+            profile_mxu,
+            onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=dtype,
+        )
+    return jnp.take(profile_full, s_t, axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("local", "use_matmul", "track_range", "dtype")
+)
+def interseq_scores(
+    profile: jax.Array,  # (m, PADDED_ALPHABET) int32
+    subjects_T: jax.Array,  # (n_pad, B) int32 codes, PAD beyond lengths
+    lengths: jax.Array,  # (B,) int32
+    gap_q: jax.Array,  # scalar int32: open+extend
+    gap_r: jax.Array,  # scalar int32: extend
+    local: bool = True,
+    use_matmul: bool = True,
+    track_range: bool = False,
+    dtype=jnp.int32,
+):
+    """Score one query against B subjects.
+
+    Returns ``(scores, hi, lo)`` — int32 per-lane optimal scores plus the
+    running max/min H values seen on valid steps (for ladder overflow
+    flagging when ``track_range``; hi==scores and lo==0 otherwise).
+    Lanes with length 0: SW scores 0, NW scores the all-gap row penalty.
+
+    ``dtype``: the DP arithmetic type. int32 is the obvious exact choice;
+    float32 is ALSO exact here — every DP value is an integer and f32
+    represents integers exactly up to 2**24, far above any realistic
+    alignment score (the manager guards the window and falls back to the
+    int64 oracle otherwise). f32 is markedly faster to compile and run on
+    TPU, whose VPU/MXU are float-first.
+    """
+    m = profile.shape[0]
+    n_pad, B = subjects_T.shape
+    Q = gap_q.astype(dtype)
+    R = gap_r.astype(dtype)
+    profile_i32 = profile.astype(dtype)
+    profile_i8 = profile.astype(jnp.int8 if dtype == jnp.int32 else dtype)
+
+    neg = jnp.asarray(-(2**30) if dtype == jnp.int32 else -(2.0**24), dtype)
+
+    # k*R offsets for the F cummax trick, rows 0..m of the extended column.
+    kR = jax.lax.broadcasted_iota(jnp.int32, (m + 1, 1), 0).astype(dtype) * R
+
+    # Initial state: column j=0 boundaries.
+    if local:
+        H0 = jnp.zeros((m + 1, B), dtype)
+    else:
+        col = -(Q + kR[:-1])  # H[i][0] = -(Q + (i-1) R) for i >= 1
+        H0 = jnp.concatenate(
+            [jnp.zeros((1, B), dtype), jnp.broadcast_to(col, (m, B))], axis=0
+        )
+    E0 = jnp.full((m, B), neg, dtype)
+    best0 = jnp.zeros((B,), dtype)
+    # NW score of query vs empty subject (captured value for len-0 lanes).
+    nw0 = jnp.full((B,), -(Q + (m - 1) * R) if m > 0 else jnp.asarray(0, dtype), dtype)
+    hi0 = jnp.zeros((B,), dtype)
+    lo0 = jnp.zeros((B,), dtype)
+
+    ts = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def step(carry, xs):
+        H, E, best, nw, hi, lo = carry
+        s_t, t = xs
+        valid = t < lengths  # (B,)
+
+        S = _profile_column(profile_i32, profile_i8, s_t, use_matmul, dtype)  # (m, B)
+
+        # Current column boundary row H[0][j].
+        h0_new = jnp.asarray(0, dtype) if local else -(Q + t.astype(dtype) * R)
+        h0_row = jnp.full((1, B), h0_new, dtype)
+
+        # Horizontal: E[i][j] from previous column's E and H.
+        E_new = jnp.maximum(E - R, H[1:] - Q)
+
+        # Diagonal + E, no F yet.
+        Hnof = jnp.maximum(H[:-1] + S, E_new)
+        if local:
+            Hnof = jnp.maximum(Hnof, jnp.asarray(0, dtype))
+
+        # Vertical F via cummax over the extended column [H0row; Hnof].
+        V = jnp.concatenate([h0_row, Hnof], axis=0)  # (m+1, B)
+        W = V + kR  # W[k] = V[k] + k R
+        C = jax.lax.associative_scan(jnp.maximum, W, axis=0)  # running max
+        F = C[:-1] - Q - kR[:-1]  # F[i] = C[i-1] - Q - (i-1) R
+
+        H_new_body = jnp.maximum(Hnof, F)
+        H_new = jnp.concatenate([h0_row, H_new_body], axis=0)
+
+        col_max = jnp.max(H_new_body, axis=0)
+        best = jnp.where(valid, jnp.maximum(best, col_max), best)
+        nw = jnp.where(t == lengths - 1, H_new_body[m - 1], nw)
+        if track_range:
+            col_min = jnp.min(H_new_body, axis=0)
+            hi = jnp.where(valid, jnp.maximum(hi, col_max), hi)
+            lo = jnp.where(valid, jnp.minimum(lo, col_min), lo)
+
+        return (H_new, E_new, best, nw, hi, lo), None
+
+    (H, E, best, nw, hi, lo), _ = jax.lax.scan(
+        step, (H0, E0, best0, nw0, hi0, lo0), (subjects_T, ts)
+    )
+    scores = best if local else nw
+    if not track_range:
+        hi, lo = scores, jnp.zeros_like(scores)
+    return (
+        scores.astype(jnp.int32),
+        hi.astype(jnp.int32),
+        lo.astype(jnp.int32),
+    )
+
+
+def overflow_flags(scores, hi, lo, limit: int | None, local: bool):
+    """Ladder overflow emulation: which lanes left the width's window.
+
+    SW in the reference runs biased-unsigned saturating arithmetic: a lane
+    saturating at the top of the window must be rescored -> flag when the
+    running max reaches ``limit``. NW scores are signed and can also
+    underflow the window -> flag on either side.
+    """
+    if limit is None:
+        return jnp.zeros(scores.shape, bool)
+    over = hi >= limit
+    if not local:
+        over = over | (lo <= -limit)
+    return over
+
+
+def batch_scores_oracle_layout(
+    profile: np.ndarray,
+    chunk_codes: np.ndarray,  # (B, n_pad)
+    lengths: np.ndarray,
+    gap_q: int,
+    gap_r: int,
+    local: bool,
+    use_matmul: bool = True,
+    track_range: bool = False,
+    dtype=jnp.int32,
+):
+    """Convenience host wrapper: (B, n_pad) chunk -> per-lane scores."""
+    scores, hi, lo = interseq_scores(
+        jnp.asarray(profile, jnp.int32),
+        jnp.asarray(chunk_codes.T, jnp.int32),
+        jnp.asarray(lengths, jnp.int32),
+        jnp.int32(gap_q),
+        jnp.int32(gap_r),
+        local=local,
+        use_matmul=use_matmul,
+        track_range=track_range,
+        dtype=dtype,
+    )
+    return np.asarray(scores), np.asarray(hi), np.asarray(lo)

@@ -1,0 +1,252 @@
+"""Multi-device / multi-host sharded database search.
+
+This layer is new surface relative to the reference (which is single-node
+pthreads only — SURVEY.md §2 "Parallelism-strategy inventory" P5): the
+subject database is sharded across the devices of a ``jax.sharding.Mesh``,
+the query profile is replicated, every device scores its shard slice with
+the same inter-sequence kernel, reduces to a local top-k, and the lists are
+merged with an ``all_gather`` collective — one jitted SPMD program, no
+host round-trip between shards. On a pod slice the gather rides ICI within a
+host and DCN across hosts; k is tiny, so the collective is microseconds next
+to the DP sweep.
+
+Design choices:
+  * Strided DB sharding (``SequenceDB.shard``) keeps length distributions —
+    and therefore per-device wall time — balanced across shards.
+  * Top-k merge = all_gather + replicated sort, not a tournament: k is
+    small, so gather-then-sort is both simpler and faster (SURVEY.md §5).
+  * Overflow flags are gathered alongside so the adaptive-precision ladder
+    works unchanged above this layer.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import interseq
+from ..ops.topk import INVALID_ID, NEG_SCORE
+
+
+def make_db_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D device mesh over the database axis ``d``."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return jax.make_mesh((len(devices),), ("d",), devices=devices)
+
+
+def _merged_topk(scores, ids, k):
+    """Replicated merge of gathered (D, k) candidate lists."""
+    s = scores.reshape(-1).astype(jnp.int32)
+    i = ids.reshape(-1).astype(jnp.int32)
+    neg_s, ids_sorted = jax.lax.sort((-s, i), num_keys=2)
+    return -neg_s[:k], ids_sorted[:k]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "k", "local", "use_matmul", "track_range", "dtype"),
+)
+def sharded_search_step(
+    profile: jax.Array,  # (m, 32) replicated
+    subjects: jax.Array,  # (D*B, n_pad) sharded over 'd'
+    lengths: jax.Array,  # (D*B,) sharded over 'd'
+    seq_ids: jax.Array,  # (D*B,) int32 global ids, -1 padding; sharded
+    gap_q: jax.Array,
+    gap_r: jax.Array,
+    *,
+    mesh: Mesh,
+    k: int,
+    local: bool = True,
+    use_matmul: bool = True,
+    track_range: bool = False,
+    dtype=jnp.float32,
+):
+    """One SPMD sweep over a sharded chunk.
+
+    Returns ``(top_scores (k,), top_ids (k,), scores (D*B,), hi, lo)`` —
+    the merged top-k is replicated; per-lane scores/ranges stay sharded for
+    the ladder's overflow pass.
+    """
+
+    def device_fn(prof, subs, lens, ids):
+        scores, hi, lo = interseq.interseq_scores(
+            prof,
+            subs.T,  # kernel wants (n_pad, B)
+            lens,
+            gap_q,
+            gap_r,
+            local=local,
+            use_matmul=use_matmul,
+            track_range=track_range,
+            dtype=dtype,
+        )
+        valid = ids >= 0
+        s_masked = jnp.where(valid, scores, NEG_SCORE)
+        i_masked = jnp.where(valid, ids, INVALID_ID)
+        neg_s, ids_sorted = jax.lax.sort((-s_masked, i_masked), num_keys=2)
+        local_top_s, local_top_i = -neg_s[:k], ids_sorted[:k]
+        # Collective merge across the db axis (ICI/DCN).
+        all_s = jax.lax.all_gather(local_top_s, "d")  # (D, k)
+        all_i = jax.lax.all_gather(local_top_i, "d")
+        top_s, top_i = _merged_topk(all_s, all_i, k)
+        return top_s, top_i, scores, hi, lo
+
+    return jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(P(), P("d"), P("d"), P("d")),
+        out_specs=(P(), P(), P("d"), P("d"), P("d")),
+        check_vma=False,
+    )(profile, subjects, lengths, seq_ids)
+
+
+class ShardedSearchEngine:
+    """Database search over every device of a mesh.
+
+    Mirrors ``search.manager.SearchEngine`` semantics (same scores, same hit
+    ordering — asserted in tests/test_sharded.py) while sweeping the DB with
+    all mesh devices in parallel. The ladder's rescore passes run on the
+    single-device engine: by construction they touch a vanishing fraction of
+    the DB (only overflowed subjects), so sharding them buys nothing.
+    """
+
+    def __init__(self, db, matrix, gap_open, gap_extend, mesh=None, params=None):
+        from ..oracle import gap_qr
+        from ..search.manager import SearchEngine, SearchParams
+
+        self.db = db
+        self.matrix = matrix
+        self.mesh = mesh if mesh is not None else make_db_mesh()
+        self.params = params or SearchParams()
+        self.gap_open, self.gap_extend = gap_open, gap_extend
+        self.gap_q, self.gap_r = gap_qr(gap_open, gap_extend)
+        self._fallback = SearchEngine(db, matrix, gap_open, gap_extend, self.params)
+        self._plan = None
+
+    @property
+    def n_devices(self) -> int:
+        return self.mesh.devices.size
+
+    def _chunk_plan(self):
+        """Synchronized global chunks: device i serves shard i's batches.
+
+        Builds (D*B, n_pad) host arrays per step; all shards use the same
+        n_pad per step (max over shards, bucket-rounded) so the SPMD program
+        keeps one static shape per bucket.
+        """
+        if self._plan is not None:
+            return self._plan
+        D = self.n_devices
+        p = self.params
+        B = max(8, p.batch_size // D)
+        shards = [self.db.shard(i, D) for i in range(D)]
+        iters = [list(s.chunks(B, p.length_multiple)) for s in shards]
+        steps = max(len(it) for it in iters)
+        from ..io.db import PAD_CODE
+
+        plan = []
+        for t in range(steps):
+            n_pad = max(
+                (it[t].codes.shape[1] for it in iters if t < len(it)), default=0
+            )
+            codes = np.full((D * B, n_pad), PAD_CODE, dtype=np.int32)
+            lengths = np.zeros(D * B, dtype=np.int32)
+            ids = np.full(D * B, -1, dtype=np.int32)
+            for d, it in enumerate(iters):
+                if t >= len(it):
+                    continue
+                c = it[t]
+                sl = slice(d * B, (d + 1) * B)
+                codes[sl, : c.codes.shape[1]] = c.codes
+                lengths[sl] = c.lengths
+                # map shard-local ids to global ids
+                shard_ids = np.where(c.seq_ids >= 0, c.seq_ids * D + d, -1)
+                ids[sl] = shard_ids
+            plan.append((codes, lengths, ids))
+        self._plan = plan
+        return plan
+
+    def search(self, q_codes, k, local=True, bit_width=None, stats=None):
+        """Top-k (scores, ids), identical to the single-device engine."""
+        import time as _time
+
+        from ..constants import BitWidth
+        from ..ops.scoring import make_profile
+        from ..ops.topk import host_topk
+        from ..search.manager import F32_WINDOW, SearchStats
+
+        bit_width = bit_width or BitWidth.EXACT
+        stats = stats if stats is not None else SearchStats()
+        t0 = _time.perf_counter()
+        profile = jnp.asarray(
+            make_profile(q_codes, self.matrix.padded()), jnp.int32
+        )
+        pspec = NamedSharding(self.mesh, P())
+        dspec = NamedSharding(self.mesh, P("d"))
+        profile = jax.device_put(profile, pspec)
+
+        limit = {
+            BitWidth.BIT8: 255,
+            BitWidth.BIT16: 32767,
+        }.get(bit_width)
+        dtype = jnp.float32 if self.params.dtype == "float32" else jnp.int32
+        eff_limit = limit
+        if dtype == jnp.float32:
+            eff_limit = min(limit, F32_WINDOW) if limit else F32_WINDOW
+        track = eff_limit is not None
+
+        all_s: list[np.ndarray] = []
+        all_i: list[np.ndarray] = []
+        flagged: list[np.ndarray] = []
+        for codes, lengths, ids in self._chunk_plan():
+            top_s, top_i, scores, hi, lo = sharded_search_step(
+                profile,
+                jax.device_put(jnp.asarray(codes), dspec),
+                jax.device_put(jnp.asarray(lengths), dspec),
+                jax.device_put(jnp.asarray(ids), dspec),
+                jnp.int32(self.gap_q),
+                jnp.int32(self.gap_r),
+                mesh=self.mesh,
+                k=k,
+                local=local,
+                use_matmul=self.params.use_matmul,
+                track_range=track,
+                dtype=dtype,
+            )
+            all_s.append(np.asarray(top_s))
+            all_i.append(np.asarray(top_i))
+            if track:
+                flags = np.asarray(
+                    interseq.overflow_flags(scores, hi, lo, eff_limit, local)
+                )
+                lane_ids = ids
+                flagged.append(lane_ids[(lane_ids >= 0) & flags])
+        stats.cells += len(q_codes) * self.db.total_residues
+        stats.subjects += len(self.db)
+
+        scores = np.concatenate(all_s)
+        ids = np.concatenate(all_i)
+        if flagged and any(len(f) for f in flagged):
+            # Ladder rescore of overflowed subjects on the fallback engine.
+            over = np.unique(np.concatenate(flagged)).astype(np.int32)
+            stats.rescored[f"limit>{eff_limit}"] = len(over)
+            sub = self.db.subset(over)
+            rescored = self._fallback.__class__(
+                sub, self.matrix, self.gap_open, self.gap_extend, self.params
+            ).score_all(q_codes, local, BitWidth.EXACT, stats)
+            scores = np.concatenate([scores, rescored])
+            ids = np.concatenate([ids, over])
+            # A rescored subject may also appear in the sweep's top-k with
+            # its (identical or clamp-affected) first-pass score: drop the
+            # first-pass entries for rescored ids before the final merge.
+            first_pass = ~np.isin(ids[: len(ids) - len(over)], over)
+            keep = np.concatenate([first_pass, np.ones(len(over), bool)])
+            scores, ids = scores[keep], ids[keep]
+        stats.seconds += _time.perf_counter() - t0
+        return host_topk(scores, ids, k)

@@ -1,0 +1,199 @@
+"""Search orchestration: chunked DB sweep + adaptive-precision ladder.
+
+Counterpart of the reference's ``src/algo/manager.c`` / ``searcher.c``
+(SURVEY.md §3.2): split the database into batches, run the configured
+bit-width kernel over every batch, collect per-subject scores and overflow
+flags, then re-score only the overflowed subjects at the next precision rung
+until none overflow. Where the reference spawns pthreads over a shared chunk
+cursor, the TPU design streams statically-shaped length-sorted batches
+through one jitted kernel — XLA's async dispatch overlaps host packing with
+device compute, and multi-device parallelism lives one level up
+(``libssa_tpu.parallel``).
+
+Precision rungs on TPU (see ops/interseq.py for the rationale):
+  * 8-/16-bit rungs emulate the reference's saturating windows by flagging
+    lanes whose running score range leaves [0, 255] / [-32767, 32767].
+  * float32 arithmetic (default: fastest on TPU) adds an implicit +/-2**24
+    integer-exactness window, folded into the ladder the same way.
+  * The terminal rung is exact int32; scores that could exceed int32 are
+    impossible for int32-indexable sequences (score <= 2**31 needs a
+    ~10**8-residue alignment), and the int64 NumPy oracle remains available
+    as the out-of-band verifier (tests/test_search.py).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import SCORE_LIMIT_8, SCORE_LIMIT_16, BitWidth
+from ..io.db import SequenceDB
+from ..matrices import ScoreMatrix
+from ..ops import interseq
+from ..ops.scoring import make_profile
+from ..ops.topk import host_topk
+
+F32_WINDOW = 2**24 - 1  # largest integer magnitude f32 tracks exactly
+
+
+@dataclass
+class SearchParams:
+    """Tunables mirroring the reference's set_* config calls."""
+
+    batch_size: int = 2048  # subjects per device batch (chunk size)
+    length_multiple: int = 64  # pad batch lengths to this multiple
+    use_matmul: bool = True  # MXU one-hot profile gather vs jnp.take
+    dtype: str = "float32"  # DP arithmetic: "float32" (fast) | "int32"
+    kernel: str = "auto"  # "auto" | "scan" | "pallas" (forced)
+
+
+@dataclass
+class SearchStats:
+    """Per-search instrumentation (SURVEY.md §5 metrics/observability)."""
+
+    cells: int = 0  # DP cells computed (sum of m * subject_len)
+    seconds: float = 0.0
+    subjects: int = 0
+    rescored: dict = field(default_factory=dict)  # rung label -> #subjects
+
+    @property
+    def gcups(self) -> float:
+        return self.cells / self.seconds / 1e9 if self.seconds > 0 else 0.0
+
+
+def _rungs(bit_width: BitWidth, dtype: str):
+    """Ladder of (limit, dtype) stages ending in an exact int32 pass.
+
+    ``limit=None`` with dtype float32 still applies the f32 window flag, so
+    a final int32 stage only runs for subjects that actually left it.
+    """
+    if bit_width == BitWidth.BIT8:
+        ladder = [(SCORE_LIMIT_8, dtype), (SCORE_LIMIT_16, dtype)]
+    elif bit_width == BitWidth.BIT16:
+        ladder = [(SCORE_LIMIT_16, dtype)]
+    else:  # BIT64 / EXACT: single pass
+        ladder = [(None, dtype)]
+    if ladder[-1] != (None, "int32"):
+        ladder.append((None, "int32"))
+    return ladder
+
+
+class SearchEngine:
+    """One query-vs-database scoring engine over a packed DB."""
+
+    def __init__(
+        self,
+        db: SequenceDB,
+        matrix: ScoreMatrix,
+        gap_open: int,
+        gap_extend: int,
+        params: SearchParams | None = None,
+    ):
+        from ..oracle import gap_qr
+
+        self.db = db
+        self.matrix = matrix
+        self.padded_matrix = matrix.padded()
+        self.gap_open = gap_open
+        self.gap_extend = gap_extend
+        self.gap_q, self.gap_r = gap_qr(gap_open, gap_extend)
+        self.params = params or SearchParams()
+
+    # -- scoring ----------------------------------------------------------
+
+    def _stage_scores(self, db: SequenceDB, profile, local, limit, dtype_str):
+        """Score every subject in ``db``; return (scores, overflow_ids)."""
+        p = self.params
+        dtype = jnp.float32 if dtype_str == "float32" else jnp.int32
+        eff_limit = limit
+        if dtype_str == "float32":
+            eff_limit = min(limit, F32_WINDOW) if limit is not None else F32_WINDOW
+        track = eff_limit is not None
+
+        scores = np.zeros(len(db), dtype=np.int64)
+        over: list[np.ndarray] = []
+        kernel = self._kernel_fn()
+        # Rescore passes touch few subjects: shrink the batch (power-of-two
+        # so the jit cache stays small) instead of padding to full width.
+        bs = min(p.batch_size, max(8, 1 << (max(len(db), 1) - 1).bit_length()))
+        for chunk in db.chunks(bs, p.length_multiple):
+            s, hi, lo = kernel(
+                profile,
+                chunk.codes,
+                chunk.lengths,
+                self.gap_q,
+                self.gap_r,
+                local=local,
+                use_matmul=p.use_matmul,
+                track_range=track,
+                dtype=dtype,
+            )
+            lanes = chunk.seq_ids >= 0
+            local_ids = chunk.seq_ids[lanes]
+            scores[local_ids] = s[lanes]
+            if track:
+                flags = np.asarray(
+                    interseq.overflow_flags(s, hi, lo, eff_limit, local)
+                )[lanes]
+                over.append(local_ids[flags])
+        over_ids = (
+            np.concatenate(over).astype(np.int32)
+            if over
+            else np.zeros(0, dtype=np.int32)
+        )
+        return scores, np.sort(over_ids)
+
+    def _kernel_fn(self):
+        return interseq.batch_scores_oracle_layout
+
+    def score_all(
+        self,
+        q_codes: np.ndarray,
+        local: bool = True,
+        bit_width: BitWidth = BitWidth.EXACT,
+        stats: SearchStats | None = None,
+    ) -> np.ndarray:
+        """Exact scores for the query vs every DB subject (ladder applied)."""
+        if len(q_codes) == 0:
+            raise ValueError("empty query")
+        profile = make_profile(q_codes, self.padded_matrix)
+        m = len(q_codes)
+        stats = stats if stats is not None else SearchStats()
+
+        t0 = time.perf_counter()
+        db = self.db
+        scores = None
+        for limit, dtype_str in _rungs(bit_width, self.params.dtype):
+            stage_scores, over_ids = self._stage_scores(
+                db, profile, local, limit, dtype_str
+            )
+            if scores is None:
+                scores = stage_scores
+            else:
+                ids = getattr(db, "subset_ids")
+                scores[ids] = stage_scores  # overwrite rescored subjects
+            stats.cells += int(m) * db.total_residues
+            if len(over_ids) == 0:
+                break
+            # Map back to original ids if we're already in a subset.
+            if hasattr(db, "subset_ids"):
+                over_ids = db.subset_ids[over_ids]
+            stats.rescored[f"limit>{limit}"] = len(over_ids)
+            db = self.db.subset(over_ids)
+        stats.seconds += time.perf_counter() - t0
+        stats.subjects += len(self.db)
+        return scores
+
+    def search(
+        self,
+        q_codes: np.ndarray,
+        k: int,
+        local: bool = True,
+        bit_width: BitWidth = BitWidth.EXACT,
+        stats: SearchStats | None = None,
+    ):
+        """Top-k (scores, seq_ids) for one query, reference hit ordering."""
+        scores = self.score_all(q_codes, local, bit_width, stats)
+        return host_topk(scores, np.arange(len(scores)), k)

@@ -1,0 +1,141 @@
+"""Public API tests: the reference-style init_*/sw_align/nw_align flow."""
+import numpy as np
+import pytest
+
+from libssa_tpu import alphabet, matrices, oracle
+from libssa_tpu.api import SSAContext
+from libssa_tpu.constants import (
+    AlignType,
+    BitWidth,
+    ComputeMode,
+    Strand,
+    SymType,
+)
+from libssa_tpu.io import fasta
+
+QUERY = "MKVLAAGIVGWKQTERNDCFYHH"
+DB_RECORDS = [
+    ("exact copy", QUERY),
+    ("partial", "AAGIVGWKQTE"),
+    ("unrelated", "PPPPPPPPWWPPPPP"),
+    ("empty", ""),
+    ("longer", "DDDD" + QUERY + "EEEE"),
+]
+
+
+@pytest.fixture
+def ctx(tmp_path):
+    db_path = tmp_path / "db.fas"
+    fasta.write_fasta(str(db_path), DB_RECORDS)
+    c = SSAContext()
+    c.init_symbol_translation(SymType.AMINOACID, Strand.FORWARD, 1, 1)
+    c.init_score_matrix("BLOSUM62")
+    c.init_gap_penalties(10, 1)
+    c.init_db_fasta(str(db_path))
+    c.set_chunk_size(4)
+    return c
+
+
+def test_sw_score_search(ctx):
+    q = ctx.init_sequence_fasta(QUERY)
+    hits = ctx.sw_align(q, k=3, mode=ComputeMode.SCORE)
+    assert len(hits) == 3
+    qc = alphabet.encode(QUERY, SymType.AMINOACID)
+    self_score = int(sum(matrices.builtin("BLOSUM62").scores[c, c] for c in qc))
+    # best hits: the exact copy and the embedded copy tie at the full score
+    assert hits[0].score == self_score
+    assert {hits[0].header, hits[1].header} == {"exact copy", "longer"}
+    assert hits[0].seq_id < hits[1].seq_id  # tie-break by id
+    assert hits[0].cigar is None  # score-only
+
+
+def test_sw_alignment_mode(ctx):
+    q = ctx.init_sequence_fasta(QUERY)
+    hits = ctx.sw_align(q, k=2, mode=ComputeMode.ALIGNMENT)
+    top = hits[0]
+    assert top.cigar == "M" * len(QUERY)
+    assert (top.q_begin, top.q_end) == (0, len(QUERY))
+    qrow, mid, srow = top.aligned
+    assert qrow == QUERY and srow == QUERY
+    assert mid == "|" * len(QUERY)
+
+
+def test_nw_align(ctx):
+    q = ctx.init_sequence_fasta(QUERY)
+    hits = ctx.nw_align(q, k=5, mode=ComputeMode.ALIGNMENT)
+    assert hits[0].header == "exact copy"
+    # global alignment vs the 'longer' record must span the whole subject
+    longer = next(h for h in hits if h.header == "longer")
+    assert longer.s_begin == 0 and longer.s_end == len(DB_RECORDS[4][1])
+    qc = alphabet.encode(QUERY, SymType.AMINOACID)
+    sc = alphabet.encode(DB_RECORDS[4][1], SymType.AMINOACID)
+    assert longer.score == oracle.nw_score(
+        qc, sc, matrices.builtin("BLOSUM62").scores, 10, 1
+    )
+
+
+def test_query_from_fasta_file(ctx, tmp_path):
+    qp = tmp_path / "q.fas"
+    fasta.write_fasta(str(qp), [("my query", QUERY)])
+    q = ctx.init_sequence_fasta(str(qp))
+    assert q.header == "my query"
+    assert len(q.sequences) == 1
+    hits = ctx.sw_align(q, k=1)
+    assert hits[0].score > 0
+
+
+def test_nucleotide_both_strands(tmp_path):
+    c = SSAContext()
+    c.init_symbol_translation(SymType.NUCLEOTIDE, Strand.BOTH)
+    c.init_constant_scoring(5, -4)
+    c.init_gap_penalties(10, 2)
+    target = "ACGTTTGCACGT"
+    # DB contains the reverse complement of the query region
+    rc = alphabet.decode(
+        alphabet.reverse_complement(alphabet.encode(target, SymType.NUCLEOTIDE)),
+        SymType.NUCLEOTIDE,
+    )
+    db_path = tmp_path / "nt.fas"
+    fasta.write_fasta(str(db_path), [("fwd", target), ("rev", rc)])
+    c.init_db_fasta(str(db_path))
+    q = c.init_sequence_fasta(target)
+    assert len(q.sequences) == 2
+    hits = c.sw_align(q, k=2, mode=ComputeMode.ALIGNMENT)
+    # both hit with the full match score, on opposite strands
+    assert hits[0].score == hits[1].score == 5 * len(target)
+    assert {h.strand for h in hits} == {"+", "-"}
+
+
+def test_unconfigured_errors():
+    c = SSAContext()
+    q = c.init_sequence_fasta("MKVL")
+    with pytest.raises(RuntimeError, match="init_db_fasta"):
+        c.sw_align(q, 5)
+    c.init_db_fasta(">a\nMKVL\n")
+    with pytest.raises(RuntimeError, match="init_score_matrix"):
+        c.sw_align(q, 5)
+
+
+def test_matrix_symtype_mismatch():
+    c = SSAContext()
+    c.init_symbol_translation(SymType.NUCLEOTIDE)
+    c.init_constant_scoring(1, -1)
+    c.init_symbol_translation(SymType.AMINOACID)  # now inconsistent
+    c.init_db_fasta(">a\nMKVL\n")
+    q = c.init_sequence_fasta("MKVL")
+    with pytest.raises(RuntimeError, match="matrix"):
+        c.sw_align(q, 1)
+
+
+def test_ssa_exit_resets(ctx):
+    ctx.ssa_exit()
+    assert ctx.db is None and ctx.matrix is None
+
+
+def test_bit8_ladder_through_api(ctx):
+    q = ctx.init_sequence_fasta(QUERY)
+    hits8 = ctx.sw_align(q, k=3, bit_width=BitWidth.BIT8)
+    hits_exact = ctx.sw_align(q, k=3, bit_width=BitWidth.EXACT)
+    assert [(h.seq_id, h.score) for h in hits8] == [
+        (h.seq_id, h.score) for h in hits_exact
+    ]

@@ -1,0 +1,102 @@
+"""Search manager tests: ladder, top-k, stats (reference: manager.c suite)."""
+import numpy as np
+import pytest
+
+from libssa_tpu import matrices, oracle
+from libssa_tpu.constants import BitWidth, SymType
+from libssa_tpu.io.db import SequenceDB
+from libssa_tpu.search.manager import SearchEngine, SearchParams, SearchStats, _rungs
+
+B62 = matrices.builtin("BLOSUM62")
+
+
+def _db(n=40, seed=0, minlen=5, maxlen=80):
+    rng = np.random.default_rng(seed)
+    seqs = [
+        rng.integers(0, 20, int(rng.integers(minlen, maxlen))).astype(np.uint8)
+        for _ in range(n)
+    ]
+    return SequenceDB.from_sequences(
+        [f"s{i}" for i in range(n)], seqs, SymType.AMINOACID
+    ), seqs
+
+
+@pytest.fixture(scope="module")
+def small_db():
+    return _db()
+
+
+@pytest.mark.parametrize("local", [True, False], ids=["sw", "nw"])
+@pytest.mark.parametrize("dtype", ["float32", "int32"])
+def test_score_all_matches_oracle(small_db, local, dtype):
+    db, seqs = small_db
+    rng = np.random.default_rng(1)
+    q = rng.integers(0, 20, 25).astype(np.uint8)
+    eng = SearchEngine(db, B62, 10, 1, SearchParams(batch_size=16, dtype=dtype))
+    got = eng.score_all(q, local=local)
+    fn = oracle.sw_score if local else oracle.nw_score
+    expect = [fn(q, s, B62.scores, 10, 1) for s in seqs]
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_ladder_rungs():
+    assert _rungs(BitWidth.EXACT, "int32") == [(None, "int32")]
+    assert _rungs(BitWidth.EXACT, "float32") == [(None, "float32"), (None, "int32")]
+    assert _rungs(BitWidth.BIT8, "float32") == [
+        (255, "float32"),
+        (32767, "float32"),
+        (None, "int32"),
+    ]
+    assert _rungs(BitWidth.BIT16, "int32") == [(32767, "int32"), (None, "int32")]
+    assert _rungs(BitWidth.BIT64, "int32") == [(None, "int32")]
+
+
+@pytest.mark.parametrize("bit_width", [BitWidth.BIT8, BitWidth.BIT16, BitWidth.EXACT])
+def test_ladder_scores_identical_across_widths(bit_width):
+    """The observable contract: every starting rung yields exact scores."""
+    db, seqs = _db(n=12, seed=3, minlen=5, maxlen=40)
+    rng = np.random.default_rng(4)
+    # Include the first DB sequence as the query -> one self-hit with a
+    # score far beyond 255 forces the 8-bit rung to overflow and rescore.
+    q = np.concatenate([seqs[0], seqs[0]])[:60]
+    eng = SearchEngine(db, B62, 10, 1, SearchParams(batch_size=8))
+    stats = SearchStats()
+    got = eng.score_all(q, local=True, bit_width=bit_width, stats=stats)
+    expect = [oracle.sw_score(q, s, B62.scores, 10, 1) for s in seqs]
+    np.testing.assert_array_equal(got, expect)
+    if bit_width == BitWidth.BIT8 and max(expect) > 255:
+        assert any("255" in key for key in stats.rescored)
+
+
+def test_search_topk_ordering(small_db):
+    db, seqs = small_db
+    rng = np.random.default_rng(2)
+    q = rng.integers(0, 20, 30).astype(np.uint8)
+    eng = SearchEngine(db, B62, 10, 1, SearchParams(batch_size=16))
+    scores, ids = eng.search(q, k=7)
+    all_scores = eng.score_all(q)
+    # descending scores, ids break ties ascending
+    assert (np.diff(scores) <= 0).all()
+    expect_order = np.lexsort((np.arange(len(all_scores)), -all_scores))[:7]
+    np.testing.assert_array_equal(ids, expect_order)
+    np.testing.assert_array_equal(scores, all_scores[expect_order])
+
+
+def test_stats_gcups_counter(small_db):
+    db, _ = small_db
+    rng = np.random.default_rng(6)
+    q = rng.integers(0, 20, 10).astype(np.uint8)
+    eng = SearchEngine(db, B62, 10, 1, SearchParams(batch_size=16))
+    stats = SearchStats()
+    eng.score_all(q, stats=stats)
+    assert stats.cells == 10 * db.total_residues
+    assert stats.seconds > 0
+    assert stats.gcups > 0
+    assert stats.subjects == len(db)
+
+
+def test_empty_query_raises(small_db):
+    db, _ = small_db
+    eng = SearchEngine(db, B62, 10, 1)
+    with pytest.raises(ValueError):
+        eng.score_all(np.zeros(0, dtype=np.uint8))

@@ -1,0 +1,93 @@
+"""Multi-device sharded search tests on the virtual 8-device CPU mesh.
+
+SURVEY.md §4: "multi-host logic tested on a single host with jax's
+multi-device simulation so the collective top-k merge is testable without a
+pod." The contract: sharded results are IDENTICAL to the single-device
+engine — same scores, same hit ids, same ordering.
+"""
+import jax
+import numpy as np
+import pytest
+
+from libssa_tpu import matrices
+from libssa_tpu.constants import BitWidth, SymType
+from libssa_tpu.io.db import SequenceDB
+from libssa_tpu.parallel.sharded import ShardedSearchEngine, make_db_mesh
+from libssa_tpu.search.manager import SearchEngine, SearchParams
+
+B62 = matrices.builtin("BLOSUM62")
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multi-device (virtual CPU) mesh"
+)
+
+
+def _db(n, seed=0, minlen=4, maxlen=60):
+    rng = np.random.default_rng(seed)
+    seqs = [
+        rng.integers(0, 20, int(rng.integers(minlen, maxlen))).astype(np.uint8)
+        for _ in range(n)
+    ]
+    return SequenceDB.from_sequences(
+        [f"s{i}" for i in range(n)], seqs, SymType.AMINOACID
+    )
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+@pytest.mark.parametrize("local", [True, False], ids=["sw", "nw"])
+def test_sharded_matches_single_device(n_devices, local):
+    db = _db(50, seed=1)
+    rng = np.random.default_rng(2)
+    q = rng.integers(0, 20, 21).astype(np.uint8)
+    params = SearchParams(batch_size=16)
+    single = SearchEngine(db, B62, 10, 1, params)
+    mesh = make_db_mesh(n_devices)
+    sharded = ShardedSearchEngine(db, B62, 10, 1, mesh, params)
+    s1, i1 = single.search(q, k=9, local=local)
+    s2, i2 = sharded.search(q, k=9, local=local)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(i1, i2)
+
+
+def test_sharded_ladder_with_overflow():
+    """BIT8 start: overflowing self-hit must be rescored and still rank 1."""
+    # Subjects >= 70 residues: the self-hit of subject 4 scores at least
+    # 70 * 4 (min BLOSUM62 diagonal) = 280 > 255 -> guaranteed 8-bit overflow.
+    db = _db(30, seed=3, minlen=70, maxlen=90)
+    q = db.sequence(4).copy()
+    mesh = make_db_mesh(4)
+    params = SearchParams(batch_size=8)
+    sharded = ShardedSearchEngine(db, B62, 10, 1, mesh, params)
+    single = SearchEngine(db, B62, 10, 1, params)
+    s1, i1 = single.search(q, k=5, local=True, bit_width=BitWidth.BIT8)
+    s2, i2 = sharded.search(q, k=5, local=True, bit_width=BitWidth.BIT8)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(i1, i2)
+    assert i2[0] == 4 and s2[0] > 255  # the engineered overflow hit
+
+
+def test_uneven_shard_sizes():
+    """DB size not divisible by device count: padding lanes must not leak."""
+    db = _db(13, seed=5)
+    rng = np.random.default_rng(6)
+    q = rng.integers(0, 20, 15).astype(np.uint8)
+    mesh = make_db_mesh(8)
+    sharded = ShardedSearchEngine(db, B62, 10, 1, mesh, SearchParams(batch_size=8))
+    single = SearchEngine(db, B62, 10, 1, SearchParams(batch_size=8))
+    s1, i1 = single.search(q, k=13, local=True)
+    s2, i2 = sharded.search(q, k=13, local=True)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(i1, i2)
+    assert (i2 >= 0).all() and (i2 < 13).all()
+
+
+def test_graft_entry_dryrun():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    s, hi, lo = jax.jit(fn)(*args)
+    assert s.shape == (128,)
+    ge.dryrun_multichip(8)
