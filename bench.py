@@ -42,7 +42,7 @@ def main():
 
     fn = kernels.best_kernel()
 
-    def run():
+    def run(sync=True):
         s, hi, lo = fn(
             profile, subjects_T, lengths, gq, gr,
             local=True, use_matmul=True, track_range=True, dtype=jnp.float32,
@@ -50,14 +50,22 @@ def main():
         # NOTE: sync via device-to-host copy. Under the axon tunnel,
         # block_until_ready() returns before compute finishes (verified:
         # timings shrank with iteration count); np.asarray is a true fence.
-        return np.asarray(s)
+        return np.asarray(s) if sync else s
 
     run()  # compile + warm
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
+    run()
+    # Slope timing: a D2H fence costs ~40 ms flat through the tunnel, so
+    # measure N dispatches + one fence for two N and take the difference —
+    # that's the steady-state per-call kernel time a chunked sweep sees
+    # (the manager also syncs once per stage, not per chunk).
+    timings = {}
+    for iters in (1, 25):
+        t0 = time.perf_counter()
+        for _ in range(iters - 1):
+            run(sync=False)
         run()
-    dt = (time.perf_counter() - t0) / iters
+        timings[iters] = time.perf_counter() - t0
+    dt = (timings[25] - timings[1]) / 24
 
     gcups = m * B * n / dt / 1e9
     print(

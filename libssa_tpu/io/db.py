@@ -181,11 +181,28 @@ class SequenceDB:
 
     # -- batching ---------------------------------------------------------
 
+    @staticmethod
+    def _bucket_length(n: int, length_multiple: int, pow2_buckets: bool) -> int:
+        """Padded length for a batch whose longest subject has length n.
+
+        With ``pow2_buckets`` (default) lengths round up to a power of two
+        (with a ``length_multiple`` floor): kernel compilation is expensive
+        (minutes per shape through the TPU remote-compile tunnel), so
+        bounding the number of distinct shapes to ~log2(max_len) beats the
+        <=2x padding waste — which length-sorted batching keeps far smaller
+        in practice.
+        """
+        n_pad = max(length_multiple, -(-n // length_multiple) * length_multiple)
+        if pow2_buckets:
+            n_pad = 1 << (n_pad - 1).bit_length()
+        return n_pad
+
     def chunks(
         self,
         batch_size: int,
         length_multiple: int = 32,
         max_length: int | None = None,
+        pow2_buckets: bool = True,
     ) -> Iterator[Chunk]:
         """Yield length-sorted padded batches covering the whole DB.
 
@@ -198,7 +215,7 @@ class SequenceDB:
         for start in range(0, len(order), batch_size):
             ids = order[start : start + batch_size]
             n = int(self.lengths[ids].max()) if len(ids) else 0
-            n_pad = max(length_multiple, -(-n // length_multiple) * length_multiple)
+            n_pad = self._bucket_length(n, length_multiple, pow2_buckets)
             codes = np.full((batch_size, n_pad), PAD_CODE, dtype=np.uint8)
             lengths = np.zeros(batch_size, dtype=np.int32)
             seq_ids = np.full(batch_size, -1, dtype=np.int32)

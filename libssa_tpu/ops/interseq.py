@@ -78,7 +78,8 @@ def _profile_column(profile_full, profile_mxu, s_t, use_matmul: bool, dtype):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("local", "use_matmul", "track_range", "dtype")
+    jax.jit,
+    static_argnames=("local", "use_matmul", "track_range", "dtype", "m_real"),
 )
 def interseq_scores(
     profile: jax.Array,  # (m, PADDED_ALPHABET) int32
@@ -90,6 +91,7 @@ def interseq_scores(
     use_matmul: bool = True,
     track_range: bool = False,
     dtype=jnp.int32,
+    m_real: int | None = None,
 ):
     """Score one query against B subjects.
 
@@ -104,8 +106,16 @@ def interseq_scores(
     alignment score (the manager guards the window and falls back to the
     int64 oracle otherwise). f32 is markedly faster to compile and run on
     TPU, whose VPU/MXU are float-first.
+
+    ``m_real``: true query length when the caller padded the profile with
+    large-negative rows so compilations are shared across query lengths
+    (pad rows clamp to 0 in SW and cannot affect real rows in either mode —
+    DP dependencies only flow toward higher rows). Defaults to all rows.
     """
     m = profile.shape[0]
+    mr = m_real if m_real is not None else m
+    if not (1 <= mr <= m):
+        raise ValueError(f"m_real {mr} out of range for profile rows {m}")
     n_pad, B = subjects_T.shape
     Q = gap_q.astype(dtype)
     R = gap_r.astype(dtype)
@@ -128,7 +138,7 @@ def interseq_scores(
     E0 = jnp.full((m, B), neg, dtype)
     best0 = jnp.zeros((B,), dtype)
     # NW score of query vs empty subject (captured value for len-0 lanes).
-    nw0 = jnp.full((B,), -(Q + (m - 1) * R) if m > 0 else jnp.asarray(0, dtype), dtype)
+    nw0 = jnp.full((B,), -(Q + (mr - 1) * R) if mr > 0 else jnp.asarray(0, dtype), dtype)
     hi0 = jnp.zeros((B,), dtype)
     lo0 = jnp.zeros((B,), dtype)
 
@@ -162,11 +172,11 @@ def interseq_scores(
         H_new_body = jnp.maximum(Hnof, F)
         H_new = jnp.concatenate([h0_row, H_new_body], axis=0)
 
-        col_max = jnp.max(H_new_body, axis=0)
+        col_max = jnp.max(H_new_body[:mr], axis=0)
         best = jnp.where(valid, jnp.maximum(best, col_max), best)
-        nw = jnp.where(t == lengths - 1, H_new_body[m - 1], nw)
+        nw = jnp.where(t == lengths - 1, H_new_body[mr - 1], nw)
         if track_range:
-            col_min = jnp.min(H_new_body, axis=0)
+            col_min = jnp.min(H_new_body[:mr], axis=0)
             hi = jnp.where(valid, jnp.maximum(hi, col_max), hi)
             lo = jnp.where(valid, jnp.minimum(lo, col_min), lo)
 
@@ -211,6 +221,7 @@ def batch_scores_oracle_layout(
     use_matmul: bool = True,
     track_range: bool = False,
     dtype=jnp.int32,
+    m_real: int | None = None,
 ):
     """Convenience host wrapper: (B, n_pad) chunk -> per-lane scores."""
     scores, hi, lo = interseq_scores(
@@ -223,5 +234,6 @@ def batch_scores_oracle_layout(
         use_matmul=use_matmul,
         track_range=track_range,
         dtype=dtype,
+        m_real=m_real,
     )
     return np.asarray(scores), np.asarray(hi), np.asarray(lo)

@@ -50,15 +50,26 @@ def _merged_topk(scores, ids, k):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "k", "local", "use_matmul", "track_range", "dtype"),
+    static_argnames=(
+        "gap_q",
+        "gap_r",
+        "mesh",
+        "k",
+        "local",
+        "use_matmul",
+        "track_range",
+        "dtype",
+        "m_real",
+        "kernel_impl",
+    ),
 )
 def sharded_search_step(
     profile: jax.Array,  # (m, 32) replicated
     subjects: jax.Array,  # (D*B, n_pad) sharded over 'd'
     lengths: jax.Array,  # (D*B,) sharded over 'd'
     seq_ids: jax.Array,  # (D*B,) int32 global ids, -1 padding; sharded
-    gap_q: jax.Array,
-    gap_r: jax.Array,
+    gap_q: int,
+    gap_r: int,
     *,
     mesh: Mesh,
     k: int,
@@ -66,6 +77,8 @@ def sharded_search_step(
     use_matmul: bool = True,
     track_range: bool = False,
     dtype=jnp.float32,
+    m_real: int | None = None,
+    kernel_impl: str = "scan",
 ):
     """One SPMD sweep over a sharded chunk.
 
@@ -75,17 +88,32 @@ def sharded_search_step(
     """
 
     def device_fn(prof, subs, lens, ids):
-        scores, hi, lo = interseq.interseq_scores(
-            prof,
-            subs.T,  # kernel wants (n_pad, B)
-            lens,
-            gap_q,
-            gap_r,
-            local=local,
-            use_matmul=use_matmul,
-            track_range=track_range,
-            dtype=dtype,
-        )
+        if kernel_impl == "pallas":
+            from ..ops.interseq_pallas import interseq_scores_pallas
+
+            scores, hi, lo = interseq_scores_pallas(
+                prof,
+                subs.T,
+                lens,
+                gap_q,
+                gap_r,
+                local=local,
+                track_range=track_range,
+                m_real=m_real,
+            )
+        else:
+            scores, hi, lo = interseq.interseq_scores(
+                prof,
+                subs.T,  # kernel wants (n_pad, B)
+                lens,
+                jnp.int32(gap_q),
+                jnp.int32(gap_r),
+                local=local,
+                use_matmul=use_matmul,
+                track_range=track_range,
+                dtype=dtype,
+                m_real=m_real,
+            )
         valid = ids >= 0
         s_masked = jnp.where(valid, scores, NEG_SCORE)
         i_masked = jnp.where(valid, ids, INVALID_ID)
@@ -132,6 +160,13 @@ class ShardedSearchEngine:
     @property
     def n_devices(self) -> int:
         return self.mesh.devices.size
+
+    def _kernel_impl(self) -> str:
+        from ..search import kernels
+
+        if self.params.kernel != "auto":
+            return self.params.kernel
+        return "pallas" if kernels.pallas_available() else "scan"
 
     def _chunk_plan(self):
         """Synchronized global chunks: device i serves shard i's batches.
@@ -184,9 +219,12 @@ class ShardedSearchEngine:
         bit_width = bit_width or BitWidth.EXACT
         stats = stats if stats is not None else SearchStats()
         t0 = _time.perf_counter()
-        profile = jnp.asarray(
-            make_profile(q_codes, self.matrix.padded()), jnp.int32
-        )
+        m_real = len(q_codes)
+        prof_np = make_profile(q_codes, self.matrix.padded())
+        pad_m = (-m_real) % 32
+        if pad_m:  # share kernel compilations across query lengths
+            prof_np = np.pad(prof_np, ((0, pad_m), (0, 0)), constant_values=-64)
+        profile = jnp.asarray(prof_np, jnp.int32)
         pspec = NamedSharding(self.mesh, P())
         dspec = NamedSharding(self.mesh, P("d"))
         profile = jax.device_put(profile, pspec)
@@ -210,14 +248,16 @@ class ShardedSearchEngine:
                 jax.device_put(jnp.asarray(codes), dspec),
                 jax.device_put(jnp.asarray(lengths), dspec),
                 jax.device_put(jnp.asarray(ids), dspec),
-                jnp.int32(self.gap_q),
-                jnp.int32(self.gap_r),
+                int(self.gap_q),
+                int(self.gap_r),
                 mesh=self.mesh,
                 k=k,
                 local=local,
                 use_matmul=self.params.use_matmul,
                 track_range=track,
                 dtype=dtype,
+                m_real=m_real,
+                kernel_impl=self._kernel_impl(),
             )
             all_s.append(np.asarray(top_s))
             all_i.append(np.asarray(top_i))

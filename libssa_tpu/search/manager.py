@@ -92,7 +92,9 @@ class SearchEngine:
         params: SearchParams | None = None,
     ):
         from ..oracle import gap_qr
+        from ..util.jaxcache import enable_compilation_cache
 
+        enable_compilation_cache()
         self.db = db
         self.matrix = matrix
         self.padded_matrix = matrix.padded()
@@ -103,8 +105,14 @@ class SearchEngine:
 
     # -- scoring ----------------------------------------------------------
 
-    def _stage_scores(self, db: SequenceDB, profile, local, limit, dtype_str):
-        """Score every subject in ``db``; return (scores, overflow_ids)."""
+    def _stage_scores(self, db: SequenceDB, profile, m_real, local, limit, dtype_str):
+        """Score every subject in ``db``; return (scores, overflow_ids).
+
+        All chunk kernels are dispatched asynchronously and synced ONCE at
+        the end: under the axon TPU tunnel a device->host fence costs ~40 ms
+        flat, so a per-chunk sync would throttle the sweep to chunk_ms+40
+        regardless of kernel speed (measured; see bench.py).
+        """
         p = self.params
         dtype = jnp.float32 if dtype_str == "float32" else jnp.int32
         eff_limit = limit
@@ -112,32 +120,40 @@ class SearchEngine:
             eff_limit = min(limit, F32_WINDOW) if limit is not None else F32_WINDOW
         track = eff_limit is not None
 
-        scores = np.zeros(len(db), dtype=np.int64)
-        over: list[np.ndarray] = []
-        kernel = self._kernel_fn()
+        kernel = self._kernel_fn(dtype_str)
+        profile_j = jnp.asarray(profile, jnp.int32)
         # Rescore passes touch few subjects: shrink the batch (power-of-two
         # so the jit cache stays small) instead of padding to full width.
         bs = min(p.batch_size, max(8, 1 << (max(len(db), 1) - 1).bit_length()))
+        pending = []
         for chunk in db.chunks(bs, p.length_multiple):
             s, hi, lo = kernel(
-                profile,
-                chunk.codes,
-                chunk.lengths,
-                self.gap_q,
-                self.gap_r,
+                profile_j,
+                jnp.asarray(np.ascontiguousarray(chunk.codes.T), jnp.int32),
+                jnp.asarray(chunk.lengths, jnp.int32),
+                jnp.int32(self.gap_q),
+                jnp.int32(self.gap_r),
                 local=local,
                 use_matmul=p.use_matmul,
                 track_range=track,
                 dtype=dtype,
+                m_real=m_real,
             )
-            lanes = chunk.seq_ids >= 0
-            local_ids = chunk.seq_ids[lanes]
-            scores[local_ids] = s[lanes]
-            if track:
-                flags = np.asarray(
-                    interseq.overflow_flags(s, hi, lo, eff_limit, local)
-                )[lanes]
-                over.append(local_ids[flags])
+            flags = (
+                interseq.overflow_flags(s, hi, lo, eff_limit, local)
+                if track
+                else None
+            )
+            pending.append((chunk.seq_ids, s, flags))
+
+        scores = np.zeros(len(db), dtype=np.int64)
+        over: list[np.ndarray] = []
+        for seq_ids, s, flags in pending:
+            lanes = seq_ids >= 0
+            local_ids = seq_ids[lanes]
+            scores[local_ids] = np.asarray(s)[lanes]
+            if flags is not None:
+                over.append(local_ids[np.asarray(flags)[lanes]])
         over_ids = (
             np.concatenate(over).astype(np.int32)
             if over
@@ -145,8 +161,17 @@ class SearchEngine:
         )
         return scores, np.sort(over_ids)
 
-    def _kernel_fn(self):
-        return interseq.batch_scores_oracle_layout
+    def _kernel_fn(self, dtype_str: str):
+        """Pick the kernel for a ladder rung (see search.kernels)."""
+        from . import kernels
+
+        if dtype_str == "int32":
+            # Terminal exact rung: the Pallas kernel is f32-only; the scan
+            # kernel computes true int32. Rescore sets are tiny, so speed
+            # is irrelevant here.
+            return interseq.interseq_scores
+        force = None if self.params.kernel == "auto" else self.params.kernel
+        return kernels.best_kernel(force)
 
     def score_all(
         self,
@@ -158,8 +183,14 @@ class SearchEngine:
         """Exact scores for the query vs every DB subject (ladder applied)."""
         if len(q_codes) == 0:
             raise ValueError("empty query")
-        profile = make_profile(q_codes, self.padded_matrix)
         m = len(q_codes)
+        # Pad the profile to a multiple of 32 rows (-64 scores) so query
+        # length stops being a free kernel-compilation dimension; kernels
+        # take m_real for NW capture / range masking (see ops docstrings).
+        profile = make_profile(q_codes, self.padded_matrix)
+        pad_m = (-m) % 32
+        if pad_m:
+            profile = np.pad(profile, ((0, pad_m), (0, 0)), constant_values=-64)
         stats = stats if stats is not None else SearchStats()
 
         t0 = time.perf_counter()
@@ -167,7 +198,7 @@ class SearchEngine:
         scores = None
         for limit, dtype_str in _rungs(bit_width, self.params.dtype):
             stage_scores, over_ids = self._stage_scores(
-                db, profile, local, limit, dtype_str
+                db, profile, m, local, limit, dtype_str
             )
             if scores is None:
                 scores = stage_scores

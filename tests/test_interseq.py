@@ -175,3 +175,22 @@ def test_float32_dtype_bit_exact(local):
     )
     np.testing.assert_array_equal(i32, f32)
     assert f32.dtype == np.int32
+
+
+@pytest.mark.parametrize("local", [True, False], ids=["sw", "nw"])
+def test_m_real_padded_profile(local):
+    """Profile padded with -64 rows + m_real == unpadded results."""
+    rng = np.random.default_rng(33)
+    q = rng.integers(0, 20, 21).astype(np.uint8)
+    profile = make_profile(q, PADDED)
+    padded_prof = np.pad(profile, ((0, 11), (0, 0)), constant_values=-64)
+    codes, lengths, seqs = _random_batch(rng, 7, 1, 50)
+    base = interseq.batch_scores_oracle_layout(
+        profile, codes, lengths, 11, 1, local=local, track_range=True
+    )
+    padded = interseq.batch_scores_oracle_layout(
+        padded_prof, codes, lengths, 11, 1, local=local, track_range=True,
+        m_real=21,
+    )
+    for a, b in zip(base, padded):
+        np.testing.assert_array_equal(a, b)
