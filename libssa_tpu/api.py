@@ -23,6 +23,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from . import alphabet, matrices, oracle
+from .search import aligner
 from .constants import (
     AlignType,
     BitWidth,
@@ -40,12 +41,19 @@ from .util.logging import log
 
 @dataclass
 class Query:
-    """A translated query ready for search (per-strand code sequences)."""
+    """A translated query ready for search.
+
+    ``sequences`` holds the per-strand code sequences in the query's own
+    alphabet; ``raw`` keeps the forward-strand encoding so translated
+    searches (nucleotide query vs protein matrix) can derive reading frames
+    regardless of configuration order.
+    """
 
     header: str
     symtype: SymType
     strands: Strand
     sequences: list[tuple[str, np.ndarray]]  # (strand label, codes)
+    raw: np.ndarray | None = None
 
     @property
     def length(self) -> int:
@@ -60,7 +68,8 @@ class Alignment:
     header: str
     score: int
     align_type: AlignType
-    strand: str = "+"
+    strand: str = "+"  # query strand ("+"/"-") or reading frame ("+0".."-2")
+    db_frame: str | None = None  # subject reading frame for translated DBs
     q_begin: int | None = None
     q_end: int | None = None
     s_begin: int | None = None
@@ -92,6 +101,7 @@ class SSAContext:
 
     def reset(self):
         self.symtype: SymType = SymType.AMINOACID
+        self.db_symtype: SymType = SymType.AMINOACID
         self.strands: Strand = Strand.FORWARD
         self.q_gencode: int = 1
         self.d_gencode: int = 1
@@ -101,6 +111,7 @@ class SSAContext:
         self.db: SequenceDB | None = None
         self.params = SearchParams()
         self._engine: SearchEngine | None = None
+        self._translated_db = None  # (SequenceDB, orig_ids, frame labels)
 
     # -- configuration (reference init_*/set_* calls) ---------------------
 
@@ -110,12 +121,24 @@ class SSAContext:
         strands: Strand = Strand.FORWARD,
         q_gencode: int = 1,
         d_gencode: int = 1,
+        db_symtype: SymType | None = None,
     ):
+        """Configure alphabets, strand search, and genetic codes.
+
+        ``symtype`` is the QUERY input alphabet; ``db_symtype`` defaults to
+        the same. Translated search modes arise when an input alphabet is
+        NUCLEOTIDE while the score matrix is AMINOACID: that input is then
+        searched in all reading frames under its genetic code (query frames
+        per ``strands``; a nucleotide database is searched in all six
+        frames) — the reference's q_gencode/d_gencode capability.
+        """
         self.symtype = symtype
+        self.db_symtype = db_symtype if db_symtype is not None else symtype
         self.strands = Strand(strands)
         self.q_gencode = q_gencode
         self.d_gencode = d_gencode
         self._engine = None
+        self._translated_db = None
 
     def init_score_matrix(self, name_or_path: str):
         try:
@@ -134,8 +157,9 @@ class SSAContext:
         self._engine = None
 
     def init_db_fasta(self, path_or_text: str):
-        self.db = SequenceDB.from_fasta(path_or_text, self.symtype)
+        self.db = SequenceDB.from_fasta(path_or_text, self.db_symtype)
         self._engine = None
+        self._translated_db = None
 
     def init_sequence_fasta(self, path_or_seq: str, header: str = "query") -> Query:
         """Read a query from FASTA (file or text) or a bare sequence string."""
@@ -155,7 +179,13 @@ class SSAContext:
                 seqs = [("-", alphabet.reverse_complement(codes))]
             elif self.strands == Strand.BOTH:
                 seqs = [("+", codes), ("-", alphabet.reverse_complement(codes))]
-        return Query(header=header, symtype=self.symtype, strands=self.strands, sequences=seqs)
+        return Query(
+            header=header,
+            symtype=self.symtype,
+            strands=self.strands,
+            sequences=seqs,
+            raw=codes,
+        )
 
     def set_chunk_size(self, n: int):
         self.params.batch_size = int(n)
@@ -176,18 +206,76 @@ class SSAContext:
 
     # -- search -----------------------------------------------------------
 
+    def _search_db(self):
+        """(SequenceDB in the matrix alphabet, orig_ids, frame_labels).
+
+        Plain searches return the loaded DB untouched. A nucleotide DB
+        searched under a protein matrix is expanded once into all six
+        reading frames (d_gencode); orig_ids maps each frame sequence back
+        to its source record, frame_labels names the frame.
+        """
+        if self.db_symtype is self.matrix.symtype:
+            return self.db, None, None
+        if not (
+            self.db_symtype is SymType.NUCLEOTIDE
+            and self.matrix.symtype is SymType.AMINOACID
+        ):
+            raise RuntimeError(
+                f"cannot search a {self.db_symtype.value} database with a "
+                f"{self.matrix.symtype.value} matrix"
+            )
+        if self._translated_db is None:
+            seqs, headers, orig, labels = [], [], [], []
+            for i in range(len(self.db)):
+                nt = self.db.sequence(i)
+                for lab, src in (("+", nt), ("-", alphabet.reverse_complement(nt))):
+                    for f in range(3):
+                        aa = alphabet.translate(src[f:], self.d_gencode)
+                        if len(aa):
+                            seqs.append(aa)
+                            headers.append(self.db.headers[i])
+                            orig.append(i)
+                            labels.append(f"{lab}{f}")
+            tdb = SequenceDB.from_sequences(headers, seqs, SymType.AMINOACID)
+            self._translated_db = (tdb, np.array(orig, np.int32), labels)
+        return self._translated_db
+
+    def _search_sequences(self, query: Query) -> list[tuple[str, np.ndarray]]:
+        """Query sequences in the matrix alphabet (frames if translated)."""
+        mt = self.matrix.symtype
+        if query.symtype is mt:
+            return query.sequences
+        if not (query.symtype is SymType.NUCLEOTIDE and mt is SymType.AMINOACID):
+            raise RuntimeError(
+                f"cannot search a {query.symtype.value} query with a "
+                f"{mt.value} matrix"
+            )
+        raw = query.raw if query.raw is not None else query.sequences[0][1]
+        out = []
+        if self.strands & Strand.FORWARD:
+            for f in range(3):
+                aa = alphabet.translate(raw[f:], self.q_gencode)
+                if len(aa):
+                    out.append((f"+{f}", aa))
+        if self.strands & Strand.REVERSE:
+            rc = alphabet.reverse_complement(raw)
+            for f in range(3):
+                aa = alphabet.translate(rc[f:], self.q_gencode)
+                if len(aa):
+                    out.append((f"-{f}", aa))
+        if not out:
+            raise ValueError("query too short to translate (needs >= 3 bases)")
+        return out
+
     def _get_engine(self) -> SearchEngine:
         if self.db is None:
             raise RuntimeError("init_db_fasta() must be called before searching")
         if self.matrix is None:
             raise RuntimeError("init_score_matrix() must be called before searching")
-        if self.matrix.symtype is not self.symtype:
-            raise RuntimeError(
-                f"score matrix is for {self.matrix.symtype}, search is {self.symtype}"
-            )
         if self._engine is None:
+            search_db, _, _ = self._search_db()
             self._engine = SearchEngine(
-                self.db, self.matrix, self.gap_open, self.gap_extend, self.params
+                search_db, self.matrix, self.gap_open, self.gap_extend, self.params
             )
         return self._engine
 
@@ -200,41 +288,62 @@ class SSAContext:
         align_type: AlignType,
     ) -> AlignmentList:
         engine = self._get_engine()
+        search_db, orig_ids, frame_labels = self._search_db()
         local = align_type is AlignType.SW
         stats = SearchStats()
-        # Score every strand; a subject's score is its best over strands
-        # (forward wins ties, matching deterministic hit ordering).
+        # Score every query strand/frame; an entry's score is its best over
+        # them (first listed wins ties, keeping hit lists deterministic).
+        q_seqs = self._search_sequences(query)
         best_scores = None
-        best_strand = None
-        for label, codes in query.sequences:
+        best_label = None
+        for label, codes in q_seqs:
             scores = engine.score_all(codes, local, bit_width, stats)
             if best_scores is None:
-                best_scores, best_strand = scores, np.full(len(scores), label)
+                best_scores, best_label = scores, np.full(len(scores), label)
             else:
                 better = scores > best_scores
                 best_scores = np.where(better, scores, best_scores)
-                best_strand = np.where(better, label, best_strand)
+                best_label = np.where(better, label, best_label)
+
+        # Translated DB: reduce frame entries to their source record,
+        # keeping the best-scoring frame (lowest entry id on ties).
+        entry_of_record = None
+        if orig_ids is not None:
+            n_rec = len(self.db)
+            order = np.lexsort((np.arange(len(best_scores)), -best_scores))
+            rec_best = np.full(n_rec, np.iinfo(np.int64).min, dtype=np.int64)
+            entry_of_record = np.zeros(n_rec, dtype=np.int64)
+            seen = np.zeros(n_rec, dtype=bool)
+            for e in order:
+                r = orig_ids[e]
+                if not seen[r]:
+                    seen[r] = True
+                    rec_best[r] = best_scores[e]
+                    entry_of_record[r] = e
+            best_scores = rec_best
+
         from .ops.topk import host_topk
 
         top_scores, top_ids = host_topk(best_scores, np.arange(len(best_scores)), k)
 
         hits = []
-        strand_codes = dict(query.sequences)
-        for score, sid in zip(top_scores, top_ids):
-            sid = int(sid)
+        label_codes = dict(q_seqs)
+        for score, rid in zip(top_scores, top_ids):
+            rid = int(rid)
+            entry = int(entry_of_record[rid]) if entry_of_record is not None else rid
             hit = Alignment(
-                seq_id=sid,
-                header=self.db.headers[sid],
+                seq_id=rid,
+                header=self.db.headers[rid],
                 score=int(score),
                 align_type=align_type,
-                strand=str(best_strand[sid]),
+                strand=str(best_label[entry]),
+                db_frame=frame_labels[entry] if frame_labels is not None else None,
             )
             if mode is ComputeMode.ALIGNMENT:
-                qc = strand_codes[hit.strand]
-                sc = self.db.sequence(sid)
-                tb_fn = oracle.sw_align if local else oracle.nw_align
-                tb = tb_fn(
-                    qc, sc, self.matrix.scores, self.gap_open, self.gap_extend
+                qc = label_codes[hit.strand]
+                sc = search_db.sequence(entry)
+                tb = aligner.align_pair(
+                    qc, sc, self.matrix.scores, self.gap_open, self.gap_extend, local
                 )
                 assert tb.score == hit.score, (
                     f"traceback score {tb.score} != search score {hit.score}"
@@ -242,10 +351,49 @@ class SSAContext:
                 hit.q_begin, hit.q_end = tb.q_begin, tb.q_end
                 hit.s_begin, hit.s_end = tb.s_begin, tb.s_end
                 hit.cigar = tb.cigar
-                dec = lambda c: alphabet.decode(c, self.symtype)
+                dec = lambda c: alphabet.decode(c, self.matrix.symtype)
                 hit.aligned = tb.aligned_strings(qc, sc, dec)
             hits.append(hit)
         return AlignmentList(hits=hits, stats=stats)
+
+    def align_pair(
+        self,
+        query: Query,
+        subject: str,
+        align_type: AlignType = AlignType.NW,
+    ) -> Alignment:
+        """Align one query against one subject (no database).
+
+        The 1-vs-1 entry point (benchmark config #1): exact score +
+        traceback using the configured matrix and gap penalties.
+        """
+        if self.matrix is None:
+            raise RuntimeError("init_score_matrix() must be called first")
+        local = align_type is AlignType.SW
+        sc = alphabet.encode(subject, self.matrix.symtype)
+        q_seqs = self._search_sequences(query)
+        best = None
+        for label, qc in q_seqs:
+            tb = aligner.align_pair(
+                qc, sc, self.matrix.scores, self.gap_open, self.gap_extend, local
+            )
+            if best is None or tb.score > best[1].score:
+                best = (label, tb, qc)
+        label, tb, qc = best
+        dec = lambda c: alphabet.decode(c, self.matrix.symtype)
+        return Alignment(
+            seq_id=-1,
+            header="subject",
+            score=tb.score,
+            align_type=align_type,
+            strand=label,
+            q_begin=tb.q_begin,
+            q_end=tb.q_end,
+            s_begin=tb.s_begin,
+            s_end=tb.s_end,
+            cigar=tb.cigar,
+            aligned=tb.aligned_strings(qc, sc, dec),
+        )
 
     def sw_align(
         self,
@@ -284,4 +432,5 @@ set_thread_count = _default.set_thread_count
 set_output_mode = _default.set_output_mode
 sw_align = _default.sw_align
 nw_align = _default.nw_align
+align_pair = _default.align_pair
 ssa_exit = _default.ssa_exit

@@ -228,3 +228,89 @@ class SearchEngine:
         """Top-k (scores, seq_ids) for one query, reference hit ordering."""
         scores = self.score_all(q_codes, local, bit_width, stats)
         return host_topk(scores, np.arange(len(scores)), k)
+
+    # -- multi-query ------------------------------------------------------
+
+    def score_all_many(
+        self,
+        queries: list[np.ndarray],
+        local: bool = True,
+        stats: SearchStats | None = None,
+    ) -> np.ndarray:
+        """(n_queries, n_subjects) exact score matrix for many queries.
+
+        The batched-multi-query sweep (inter-sequence vectorization over
+        subjects, loop over queries): subjects stream to the device ONCE per
+        chunk and every query profile is scored against the resident chunk
+        before the next upload — queries are cheap (a profile is KBs), chunks
+        are the expensive transfer. All dispatches are async with a single
+        device sync at the end. Uses the exact pass directly (the 8/16-bit
+        ladder's narrow windows buy nothing on multi-query TPU sweeps).
+        """
+        p = self.params
+        stats = stats if stats is not None else SearchStats()
+        if not queries or any(len(q) == 0 for q in queries):
+            raise ValueError("need at least one non-empty query")
+        t0 = time.perf_counter()
+
+        # Bucket profiles to 32-row multiples (shared kernel compilations).
+        profs = []
+        for q in queries:
+            prof = make_profile(q, self.padded_matrix)
+            pad_m = (-len(q)) % 32
+            if pad_m:
+                prof = np.pad(prof, ((0, pad_m), (0, 0)), constant_values=-64)
+            profs.append((jnp.asarray(prof, jnp.int32), len(q)))
+
+        kernel = self._kernel_fn(p.dtype)
+        dtype = jnp.float32 if p.dtype == "float32" else jnp.int32
+        gq, gr = jnp.int32(self.gap_q), jnp.int32(self.gap_r)
+        pending = []
+        for chunk in self.db.chunks(p.batch_size, p.length_multiple):
+            codes_j = jnp.asarray(np.ascontiguousarray(chunk.codes.T), jnp.int32)
+            lengths_j = jnp.asarray(chunk.lengths, jnp.int32)
+            for qi, (prof_j, m_real) in enumerate(profs):
+                s, hi, lo = kernel(
+                    prof_j, codes_j, lengths_j, gq, gr,
+                    local=local, use_matmul=p.use_matmul,
+                    track_range=(p.dtype == "float32"),
+                    dtype=dtype, m_real=m_real,
+                )
+                pending.append((qi, chunk.seq_ids, s, hi, lo))
+
+        scores = np.zeros((len(queries), len(self.db)), dtype=np.int64)
+        needs_exact: list[tuple[int, int]] = []
+        for qi, seq_ids, s, hi, lo in pending:
+            lanes = seq_ids >= 0
+            ids = seq_ids[lanes]
+            scores[qi, ids] = np.asarray(s)[lanes]
+            if p.dtype == "float32":
+                flags = np.asarray(
+                    interseq.overflow_flags(s, hi, lo, F32_WINDOW, local)
+                )[lanes]
+                needs_exact.extend((qi, int(i)) for i in ids[flags])
+        # f32-window escapees (astronomically rare): exact int32 rescore.
+        for qi, sid in needs_exact:
+            sub = self.db.subset(np.array([sid], dtype=np.int32))
+            eng = SearchEngine(
+                sub, self.matrix, self.gap_open, self.gap_extend,
+                SearchParams(batch_size=8, dtype="int32"),
+            )
+            scores[qi, sid] = eng.score_all(queries[qi], local)[0]
+        for q in queries:
+            stats.cells += len(q) * self.db.total_residues
+        stats.subjects += len(queries) * len(self.db)
+        stats.seconds += time.perf_counter() - t0
+        return scores
+
+    def search_many(
+        self,
+        queries: list[np.ndarray],
+        k: int,
+        local: bool = True,
+        stats: SearchStats | None = None,
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Per-query top-k hit lists for a batch of queries."""
+        scores = self.score_all_many(queries, local, stats)
+        ids = np.arange(scores.shape[1])
+        return [host_topk(scores[qi], ids, k) for qi in range(len(queries))]

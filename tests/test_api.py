@@ -139,3 +139,90 @@ def test_bit8_ladder_through_api(ctx):
     assert [(h.seq_id, h.score) for h in hits8] == [
         (h.seq_id, h.score) for h in hits_exact
     ]
+
+
+def test_align_pair_one_vs_one(ctx):
+    q = ctx.init_sequence_fasta(QUERY)
+    a = ctx.align_pair(q, QUERY, AlignType.NW)
+    qc = alphabet.encode(QUERY, SymType.AMINOACID)
+    self_score = int(sum(matrices.builtin("BLOSUM62").scores[c, c] for c in qc))
+    assert a.score == self_score
+    assert a.cigar == "M" * len(QUERY)
+    a2 = ctx.align_pair(q, "AAGIVGWKQTE", AlignType.SW)
+    assert a2.score > 0 and a2.aligned is not None
+
+
+class TestTranslatedSearch:
+    PROT = "MKVLAAGWQTE"
+    # Reverse-translate with unambiguous codons (standard code).
+    CODONS = {
+        "M": "ATG", "K": "AAA", "V": "GTT", "L": "CTT", "A": "GCT",
+        "G": "GGT", "W": "TGG", "Q": "CAA", "T": "ACT", "E": "GAA",
+    }
+
+    def _nt(self, prot):
+        return "".join(self.CODONS[c] for c in prot)
+
+    def test_translated_query_vs_protein_db(self, tmp_path):
+        """blastx-style: nucleotide query, protein DB."""
+        c = SSAContext()
+        c.init_symbol_translation(
+            SymType.NUCLEOTIDE, Strand.BOTH, q_gencode=1,
+            db_symtype=SymType.AMINOACID,
+        )
+        c.init_score_matrix("BLOSUM62")
+        c.init_gap_penalties(10, 1)
+        db_path = tmp_path / "prot.fas"
+        fasta.write_fasta(str(db_path), [("target", self.PROT), ("junk", "PPPPPPP")])
+        c.init_db_fasta(str(db_path))
+        # query: the coding sequence with one leading base (frame +1)
+        q = c.init_sequence_fasta("G" + self._nt(self.PROT))
+        hits = c.sw_align(q, k=1, mode=ComputeMode.ALIGNMENT)
+        top = hits[0]
+        assert top.header == "target"
+        assert top.strand == "+1"
+        pc = alphabet.encode(self.PROT, SymType.AMINOACID)
+        expect = int(sum(matrices.builtin("BLOSUM62").scores[x, x] for x in pc))
+        assert top.score == expect
+        assert top.aligned[2] == self.PROT
+
+    def test_translated_db_vs_protein_query(self, tmp_path):
+        """tblastn-style: protein query, nucleotide DB (six frames)."""
+        c = SSAContext()
+        c.init_symbol_translation(
+            SymType.AMINOACID, Strand.FORWARD, d_gencode=1,
+            db_symtype=SymType.NUCLEOTIDE,
+        )
+        c.init_score_matrix("BLOSUM62")
+        c.init_gap_penalties(10, 1)
+        nt = self._nt(self.PROT)
+        rc = alphabet.decode(
+            alphabet.reverse_complement(alphabet.encode(nt, SymType.NUCLEOTIDE)),
+            SymType.NUCLEOTIDE,
+        )
+        db_path = tmp_path / "nt.fas"
+        fasta.write_fasta(
+            str(db_path),
+            [("fwd0", nt), ("rev_strand", rc), ("fwd2", "GG" + nt), ("noise", "ACGT" * 10)],
+        )
+        c.init_db_fasta(str(db_path))
+        q = c.init_sequence_fasta(self.PROT)
+        hits = c.sw_align(q, k=3, mode=ComputeMode.ALIGNMENT)
+        pc = alphabet.encode(self.PROT, SymType.AMINOACID)
+        expect = int(sum(matrices.builtin("BLOSUM62").scores[x, x] for x in pc))
+        by_header = {h.header: h for h in hits}
+        assert by_header["fwd0"].score == expect
+        assert by_header["fwd0"].db_frame == "+0"
+        assert by_header["rev_strand"].score == expect
+        assert by_header["rev_strand"].db_frame.startswith("-")
+        assert by_header["fwd2"].db_frame == "+2"
+
+    def test_mismatched_alphabets_raise(self):
+        c = SSAContext()
+        c.init_symbol_translation(SymType.AMINOACID, db_symtype=SymType.AMINOACID)
+        c.init_constant_scoring(1, -1)  # AA-typed? no: symtype is AA
+        c.matrix = matrices.constant_scoring(1, -1, SymType.NUCLEOTIDE)
+        c.init_db_fasta(">a\nMKVL\n")
+        q = c.init_sequence_fasta("MKVL")
+        with pytest.raises(RuntimeError, match="matrix"):
+            c.sw_align(q, 1)

@@ -1,0 +1,65 @@
+"""CLI tests (search / pair / info subcommands)."""
+import json
+
+import numpy as np
+import pytest
+
+from libssa_tpu.cli import main
+from libssa_tpu.io import fasta
+
+
+@pytest.fixture
+def db_path(tmp_path):
+    rng = np.random.default_rng(0)
+    AA = list("ARNDCQEGHILKMFPSTWYV")
+    recs = [(f"p{i}", "".join(rng.choice(AA, 30))) for i in range(20)]
+    recs[7] = ("needle", "MKVLAAGIVGWKQTE")
+    p = tmp_path / "db.fas"
+    fasta.write_fasta(str(p), recs)
+    return str(p)
+
+
+def test_search_json(db_path, capsys):
+    rc = main([
+        "search", "--db", db_path, "--query", "MKVLAAGIVGWKQTE",
+        "-k", "3", "--json",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["hits"][0]["header"] == "needle"
+    assert out["hits"][0]["score"] > 0
+
+
+def test_search_align_text(db_path, capsys):
+    rc = main([
+        "search", "--db", db_path, "--query", "MKVLAAGIVGWKQTE",
+        "-k", "2", "--align", "--bit-width", "8",
+    ])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "needle" in text
+    assert "|" in text  # alignment midline rendered
+
+
+def test_pair(capsys):
+    rc = main([
+        "pair", "--query", "MKVLAAGW", "--subject", "MKVLAAGW", "--algo", "nw",
+    ])
+    assert rc == 0
+    assert "score=" in capsys.readouterr().out
+
+
+def test_info(db_path, capsys):
+    rc = main(["info", "--db", db_path])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["sequences"] == 20
+    assert out["max_length"] >= 15
+
+
+def test_error_exit_code(tmp_path, capsys):
+    rc = main([
+        "search", "--db", str(tmp_path / "missing.fas"), "--query", "MKVL",
+    ])
+    assert rc == 2
+    assert "error:" in capsys.readouterr().err

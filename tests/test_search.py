@@ -100,3 +100,49 @@ def test_empty_query_raises(small_db):
     eng = SearchEngine(db, B62, 10, 1)
     with pytest.raises(ValueError):
         eng.score_all(np.zeros(0, dtype=np.uint8))
+
+
+class TestMultiQuery:
+    def test_score_all_many_matches_single(self, small_db):
+        db, seqs = small_db
+        rng = np.random.default_rng(9)
+        queries = [
+            rng.integers(0, 20, int(rng.integers(5, 40))).astype(np.uint8)
+            for _ in range(6)
+        ]
+        eng = SearchEngine(db, B62, 10, 1, SearchParams(batch_size=16))
+        many = eng.score_all_many(queries, local=True)
+        assert many.shape == (6, len(db))
+        for qi, q in enumerate(queries):
+            single = eng.score_all(q, local=True)
+            np.testing.assert_array_equal(many[qi], single)
+
+    def test_search_many_topk(self, small_db):
+        db, _ = small_db
+        rng = np.random.default_rng(10)
+        queries = [rng.integers(0, 20, 12).astype(np.uint8) for _ in range(3)]
+        eng = SearchEngine(db, B62, 10, 1, SearchParams(batch_size=16))
+        results = eng.search_many(queries, k=4)
+        assert len(results) == 3
+        for qi, (scores, ids) in enumerate(results):
+            s1, i1 = eng.search(queries[qi], k=4)
+            np.testing.assert_array_equal(scores, s1)
+            np.testing.assert_array_equal(ids, i1)
+
+    def test_search_many_nw(self, small_db):
+        db, seqs = small_db
+        rng = np.random.default_rng(11)
+        queries = [rng.integers(0, 20, 9).astype(np.uint8) for _ in range(2)]
+        eng = SearchEngine(db, B62, 10, 1, SearchParams(batch_size=16))
+        many = eng.score_all_many(queries, local=False)
+        import libssa_tpu.oracle as oracle_mod
+
+        for qi, q in enumerate(queries):
+            expect = [oracle_mod.nw_score(q, s, B62.scores, 10, 1) for s in seqs]
+            np.testing.assert_array_equal(many[qi], expect)
+
+    def test_empty_query_list_raises(self, small_db):
+        db, _ = small_db
+        eng = SearchEngine(db, B62, 10, 1)
+        with pytest.raises(ValueError):
+            eng.score_all_many([])

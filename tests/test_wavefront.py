@@ -1,0 +1,69 @@
+"""Wavefront single-pair kernel vs oracle (intra-sequence strategy P2)."""
+import numpy as np
+import pytest
+
+from libssa_tpu import matrices, oracle
+from libssa_tpu.ops.wavefront import pair_score
+
+B62 = matrices.builtin("BLOSUM62")
+PADDED = B62.padded()
+
+
+@pytest.mark.parametrize("local", [True, False], ids=["sw", "nw"])
+def test_wavefront_random_pairs(local):
+    rng = np.random.default_rng(0)
+    fn = oracle.sw_score if local else oracle.nw_score
+    for _ in range(15):
+        m = int(rng.integers(1, 40))
+        n = int(rng.integers(1, 40))
+        q = rng.integers(0, 20, m).astype(np.uint8)
+        s = rng.integers(0, 20, n).astype(np.uint8)
+        got = pair_score(q, s, PADDED, 10, 1, local=local)
+        assert got == fn(q, s, B62.scores, 10, 1), (m, n)
+
+
+@pytest.mark.parametrize("local", [True, False], ids=["sw", "nw"])
+@pytest.mark.parametrize("gaps", [(0, 2), (5, 5), (12, 1)])
+def test_wavefront_gap_grid(local, gaps):
+    go, ge = gaps
+    rng = np.random.default_rng(go + ge)
+    fn = oracle.sw_score if local else oracle.nw_score
+    q = rng.integers(0, 20, 17).astype(np.uint8)
+    s = rng.integers(0, 20, 23).astype(np.uint8)
+    assert pair_score(q, s, PADDED, go, ge, local=local) == fn(
+        q, s, B62.scores, go, ge
+    )
+
+
+def test_wavefront_extreme_aspect_ratios():
+    rng = np.random.default_rng(3)
+    q = rng.integers(0, 20, 3).astype(np.uint8)
+    s = rng.integers(0, 20, 200).astype(np.uint8)
+    assert pair_score(q, s, PADDED, 10, 1) == oracle.sw_score(q, s, B62.scores, 10, 1)
+    assert pair_score(s, q, PADDED, 10, 1) == oracle.sw_score(s, q, B62.scores, 10, 1)
+    assert pair_score(q, s, PADDED, 10, 1, local=False) == oracle.nw_score(
+        q, s, B62.scores, 10, 1
+    )
+
+
+def test_wavefront_empty():
+    q = np.array([1, 2, 3], dtype=np.uint8)
+    e = np.zeros(0, dtype=np.uint8)
+    assert pair_score(q, e, PADDED, 10, 1) == 0
+    assert pair_score(q, e, PADDED, 10, 1, local=False) == -(11 + 2)
+    assert pair_score(e, e, PADDED, 10, 1, local=False) == 0
+
+
+def test_wavefront_matches_interseq_long():
+    """Cross-check the two strategies on a longer pair."""
+    rng = np.random.default_rng(4)
+    q = rng.integers(0, 20, 64).astype(np.uint8)
+    s = rng.integers(0, 20, 300).astype(np.uint8)
+    from libssa_tpu.ops import interseq
+    from libssa_tpu.ops.scoring import make_profile
+
+    profile = make_profile(q, PADDED)
+    batch, _, _ = interseq.batch_scores_oracle_layout(
+        profile, s[None, :].astype(np.int32), np.array([300], np.int32), 11, 1, local=True
+    )
+    assert pair_score(q, s, PADDED, 10, 1) == batch[0]
