@@ -84,8 +84,11 @@ def cmd_search(args) -> int:
     ]
     mode = ComputeMode.ALIGNMENT if args.align else ComputeMode.SCORE
     fn = ctx.sw_align if args.algo == "sw" else ctx.nw_align
+    from .util.profiling import trace
+
     t0 = time.perf_counter()
-    hits = fn(query, k=args.k, bit_width=bw, mode=mode)
+    with trace(getattr(args, "xprof", None)):
+        hits = fn(query, k=args.k, bit_width=bw, mode=mode)
     dt = time.perf_counter() - t0
     if args.json:
         out = [
@@ -156,6 +159,8 @@ def main(argv=None) -> int:
     ps.add_argument("--align", action="store_true", help="traceback alignments")
     ps.add_argument("--json", action="store_true")
     ps.add_argument("--chunk-size", type=int, default=None)
+    ps.add_argument("--xprof", metavar="DIR", default=None,
+                    help="write a jax.profiler trace of the search to DIR")
     _add_scoring_args(ps)
     ps.set_defaults(fn=cmd_search)
 

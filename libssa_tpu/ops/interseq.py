@@ -117,6 +117,8 @@ def interseq_scores(
     if not (1 <= mr <= m):
         raise ValueError(f"m_real {mr} out of range for profile rows {m}")
     n_pad, B = subjects_T.shape
+    # Codes fit int8; callers ship them narrow to cut transfer bytes 4x.
+    subjects_T = subjects_T.astype(jnp.int32)
     Q = gap_q.astype(dtype)
     R = gap_r.astype(dtype)
     profile_i32 = profile.astype(dtype)

@@ -107,7 +107,7 @@ def _kernel(
     def step(t, _):
         H = H_ref[:]
         E = E_ref[:]
-        s_t = subjects_ref[pl.ds(t, 1), :]  # (1, B) int32
+        s_t = subjects_ref[pl.ds(t, 1), :].astype(jnp.int32)  # (1, B)
 
         # Profile column via MXU: (m, 32) @ (32, B) one-hot.
         onehot = (

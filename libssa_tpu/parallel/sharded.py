@@ -156,6 +156,12 @@ class ShardedSearchEngine:
         self.gap_q, self.gap_r = gap_qr(gap_open, gap_extend)
         self._fallback = SearchEngine(db, matrix, gap_open, gap_extend, self.params)
         self._plan = None
+        # Failure handling (SURVEY.md §5): sharded search is embarrassingly
+        # restartable per chunk — a chunk whose SPMD step fails (device loss,
+        # preemption) is re-queued on the single-device fallback engine
+        # instead of failing the sweep. Tests inject faults via this hook.
+        self.fault_injector = None  # callable(step_index) for tests
+        self.requeued_chunks = 0
 
     @property
     def n_devices(self) -> int:
@@ -242,31 +248,46 @@ class ShardedSearchEngine:
         all_s: list[np.ndarray] = []
         all_i: list[np.ndarray] = []
         flagged: list[np.ndarray] = []
-        for codes, lengths, ids in self._chunk_plan():
-            top_s, top_i, scores, hi, lo = sharded_search_step(
-                profile,
-                jax.device_put(jnp.asarray(codes), dspec),
-                jax.device_put(jnp.asarray(lengths), dspec),
-                jax.device_put(jnp.asarray(ids), dspec),
-                int(self.gap_q),
-                int(self.gap_r),
-                mesh=self.mesh,
-                k=k,
-                local=local,
-                use_matmul=self.params.use_matmul,
-                track_range=track,
-                dtype=dtype,
-                m_real=m_real,
-                kernel_impl=self._kernel_impl(),
-            )
-            all_s.append(np.asarray(top_s))
-            all_i.append(np.asarray(top_i))
-            if track:
-                flags = np.asarray(
-                    interseq.overflow_flags(scores, hi, lo, eff_limit, local)
+        for step_idx, (codes, lengths, ids) in enumerate(self._chunk_plan()):
+            try:
+                if self.fault_injector is not None:
+                    self.fault_injector(step_idx)
+                top_s, top_i, scores, hi, lo = sharded_search_step(
+                    profile,
+                    jax.device_put(jnp.asarray(codes, jnp.int8), dspec),
+                    jax.device_put(jnp.asarray(lengths), dspec),
+                    jax.device_put(jnp.asarray(ids), dspec),
+                    int(self.gap_q),
+                    int(self.gap_r),
+                    mesh=self.mesh,
+                    k=k,
+                    local=local,
+                    use_matmul=self.params.use_matmul,
+                    track_range=track,
+                    dtype=dtype,
+                    m_real=m_real,
+                    kernel_impl=self._kernel_impl(),
                 )
-                lane_ids = ids
-                flagged.append(lane_ids[(lane_ids >= 0) & flags])
+                scores_np = np.asarray(scores)
+                hi_np, lo_np = np.asarray(hi), np.asarray(lo)
+                all_s.append(np.asarray(top_s))
+                all_i.append(np.asarray(top_i))
+                if track:
+                    flags = np.asarray(
+                        interseq.overflow_flags(scores_np, hi_np, lo_np, eff_limit, local)
+                    )
+                    flagged.append(ids[(ids >= 0) & flags])
+            except Exception:
+                # Chunk re-queue on the fallback engine (SURVEY.md §5
+                # failure detection: shards are independently restartable).
+                self.requeued_chunks += 1
+                valid = ids >= 0
+                sub = self.db.subset(ids[valid].astype(np.int32))
+                r = self._fallback.__class__(
+                    sub, self.matrix, self.gap_open, self.gap_extend, self.params
+                ).score_all(q_codes, local, BitWidth.EXACT, stats)
+                all_s.append(r.astype(np.int64))
+                all_i.append(ids[valid].astype(np.int32))
         stats.cells += len(q_codes) * self.db.total_residues
         stats.subjects += len(self.db)
 

@@ -129,7 +129,7 @@ class SearchEngine:
         for chunk in db.chunks(bs, p.length_multiple):
             s, hi, lo = kernel(
                 profile_j,
-                jnp.asarray(np.ascontiguousarray(chunk.codes.T), jnp.int32),
+                jnp.asarray(np.ascontiguousarray(chunk.codes.T), jnp.int8),
                 jnp.asarray(chunk.lengths, jnp.int32),
                 jnp.int32(self.gap_q),
                 jnp.int32(self.gap_r),
@@ -267,7 +267,7 @@ class SearchEngine:
         gq, gr = jnp.int32(self.gap_q), jnp.int32(self.gap_r)
         pending = []
         for chunk in self.db.chunks(p.batch_size, p.length_multiple):
-            codes_j = jnp.asarray(np.ascontiguousarray(chunk.codes.T), jnp.int32)
+            codes_j = jnp.asarray(np.ascontiguousarray(chunk.codes.T), jnp.int8)
             lengths_j = jnp.asarray(chunk.lengths, jnp.int32)
             for qi, (prof_j, m_real) in enumerate(profs):
                 s, hi, lo = kernel(

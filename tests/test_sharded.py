@@ -91,3 +91,26 @@ def test_graft_entry_dryrun():
     s, hi, lo = jax.jit(fn)(*args)
     assert s.shape == (128,)
     ge.dryrun_multichip(8)
+
+
+def test_fault_injection_requeues_chunk():
+    """A failing SPMD chunk step must be re-queued, results unchanged
+    (SURVEY.md §5: shards are independently restartable)."""
+    db = _db(40, seed=8)
+    rng = np.random.default_rng(9)
+    q = rng.integers(0, 20, 18).astype(np.uint8)
+    params = SearchParams(batch_size=16)
+    mesh = make_db_mesh(4)
+
+    clean = ShardedSearchEngine(db, B62, 10, 1, mesh, params)
+    s_ok, i_ok = clean.search(q, k=8, local=True)
+
+    faulty = ShardedSearchEngine(db, B62, 10, 1, mesh, params)
+    def boom(step_idx):
+        if step_idx == 0:
+            raise RuntimeError("injected device failure")
+    faulty.fault_injector = boom
+    s2, i2 = faulty.search(q, k=8, local=True)
+    assert faulty.requeued_chunks == 1
+    np.testing.assert_array_equal(s_ok, s2)
+    np.testing.assert_array_equal(i_ok, i2)
