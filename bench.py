@@ -36,7 +36,8 @@ def main():
     m, B, n = 256, 2048, 512
     q = rng.integers(0, 20, m).astype(np.uint8)
     profile = jnp.asarray(make_profile(q, padded), jnp.int32)
-    subjects_T = jnp.asarray(rng.integers(0, 20, (n, B)), jnp.int32)
+    # int8 subject codes, as the manager's chunk streaming sends them.
+    subjects_T = jnp.asarray(rng.integers(0, 20, (n, B)), jnp.int8)
     lengths = jnp.full((B,), n, jnp.int32)
     gq, gr = jnp.int32(11), jnp.int32(1)
 
@@ -57,15 +58,17 @@ def main():
     # Slope timing: a D2H fence costs ~40 ms flat through the tunnel, so
     # measure N dispatches + one fence for two N and take the difference —
     # that's the steady-state per-call kernel time a chunked sweep sees
-    # (the manager also syncs once per stage, not per chunk).
-    timings = {}
-    for iters in (1, 25):
-        t0 = time.perf_counter()
-        for _ in range(iters - 1):
-            run(sync=False)
-        run()
-        timings[iters] = time.perf_counter() - t0
-    dt = (timings[25] - timings[1]) / 24
+    # (the manager also syncs once per stage, not per chunk). Min over
+    # repeats rejects one-off tunnel stalls.
+    timings = {1: [], 25: []}
+    for _rep in range(5):
+        for iters in (1, 25):
+            t0 = time.perf_counter()
+            for _ in range(iters - 1):
+                run(sync=False)
+            run()
+            timings[iters].append(time.perf_counter() - t0)
+    dt = (min(timings[25]) - min(timings[1])) / 24
 
     gcups = m * B * n / dt / 1e9
     print(

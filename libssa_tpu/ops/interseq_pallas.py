@@ -3,19 +3,28 @@
 This is the VMEM-resident redesign of the scan kernel in ``interseq.py`` —
 the TPU equivalent of the reference's hand-written SSE/AVX2 inner loops
 (``src/algo/8|16/search_*`` per SURVEY.md §2/§3.2). The XLA ``lax.scan``
-formulation is HBM-bound: H/E state (and several temporaries) round-trip HBM
-every subject step, capping throughput near 6 GCUPS/chip. Here the entire
-DP state lives in VMEM for the whole sweep:
+formulation is HBM-bound: H/E state round-trips HBM every subject step.
+Here the entire DP state lives in VMEM for the whole sweep.
+
+Design (third iteration; see docs/PERF_NOTES.md for the measured landscape):
 
   * Grid: one program per tile of ``B_TILE`` subjects (lanes).
-  * Within a program, a ``fori_loop`` walks subject positions; per step the
-    score column is ``profile @ onehot(s_t)`` on the MXU and the H/E/F
-    updates are full-width VPU ops on (m, B_TILE) arrays that never leave
-    the chip.
-  * The vertical F dependency uses the same exact lazy-F identity as the
-    scan kernel (see interseq.py docstring), computed as a Hillis-Steele
-    prefix-max: log2(m) shift+mask+max passes with compile-time-constant
-    masks.
+  * A ``fori_loop`` walks subject positions; per step the score column is
+    ``profile @ onehot(s_t)`` on the MXU.
+  * The vertical F dependency uses **chunked-sequential lazy-F**: rows are
+    split into chunks of ``CH`` (default 8 — one sublane tile); each chunk
+    runs a confined log2(CH)-pass prefix-max scan (the exact lazy-F
+    identity, with the per-distance gap decay folded into the additive
+    masks), and the F value crossing each chunk boundary rides as a cheap
+    (1, B) carry computed *sequentially* — so the scan work per cell is
+    O(log CH / CH) instead of O(log m), which measured ~45% faster than
+    the previous full-width Hillis-Steele design (2.04 ms → 1.28 ms at
+    m=256, B=2048, n=512 ⇒ ~209 GCUPS/chip).
+  * SW tracks the running best as a full-width (m, B) max accumulator
+    (no per-column cross-sublane reduce — that reduce was a major cost of
+    the previous design). Exact because pad symbols score -64: once past a
+    subject's end no cell can exceed the running maximum, so lengths need
+    no masking in the SW path.
 
 Gap penalties are compile-time constants (the reference also fixes them at
 ``init_gap_penalties`` time); changing them recompiles, which takes one-time
@@ -38,153 +47,198 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import PADDED_ALPHABET
 
 NEG_F32 = float(-(2.0**24))  # -inf surrogate, exact in f32
-
-
-def _prefix_max(x, m_rows: int):
-    """Inclusive prefix max along axis 0 of (m_rows, B) via log-shift passes."""
-    d = 1
-    while d < m_rows:
-        rolled = pltpu.roll(x, shift=d, axis=0)
-        mask = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) >= d
-        x = jnp.maximum(x, jnp.where(mask, rolled, NEG_F32))
-        d *= 2
-    return x
+VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom below the ~16MB/core VMEM
 
 
 def _kernel(
     profile_ref,  # (m, 32) f32
-    subjects_ref,  # (n_pad, B_TILE) int32
+    subjects_ref,  # (n_pad, B_TILE) int
     lengths_ref,  # (1, B_TILE) int32
-    scores_ref,  # (1, B_TILE) f32 out (doubles as best/nw accumulator)
+    scores_ref,  # (1, B_TILE) f32 out
     hi_ref,
     lo_ref,
     H_ref,  # (m, B_TILE) f32 scratch
     E_ref,  # (m, B_TILE) f32 scratch
+    A_ref,  # (m, B_TILE) f32 scratch: SW best-accumulator / NW hi
+    L_ref,  # (m, B_TILE) f32 scratch: NW lo accumulator (else unused)
     *,
     m: int,
     m_real: int,
     n_pad: int,
     Q: int,
     R: int,
+    CH: int,
     local: bool,
     track_range: bool,
+    subj_blocked: bool,
 ):
-    # All DP state lives in VMEM refs. (fori_loop array carries initialized
-    # from splat constants trip a Mosaic layout bug — "replicated in
-    # destination but not in source" — refs sidestep the carry entirely.)
     B = subjects_ref.shape[1]
+    NCH = m // CH
     prof = profile_ref[:]  # (m, 32)
-    lengths = lengths_ref[:].astype(jnp.int32)  # (1, B)
-
     Qf = jnp.float32(Q)
     Rf = jnp.float32(R)
-    # rR[r] = r * R for the prefix-max change of variables.
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (m, B), 0)
-    rR = row_ids.astype(jnp.float32) * Rf
-    row0_mask = row_ids == 0
-    # Rows >= m_real are -64-profile padding shared across query lengths;
-    # they clamp to 0 in SW and cannot affect real rows (dependencies only
-    # flow toward higher rows), but NW capture and range tracking must
-    # ignore them.
-    real_rows = row_ids < m_real
-    capture_row = row_ids == (m_real - 1)
 
+    # Confined-scan masks, (CH, 1): additive -d*R inside the chunk window,
+    # NEG outside (kills circular-roll wraparound). The F shift folds -Q.
+    rid = jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)
+    masks = []
+    d = 1
+    while d < CH:
+        masks.append(jnp.where(rid >= d, -d * Rf, NEG_F32).astype(jnp.float32))
+        d *= 2
+    fmask = jnp.where(rid >= 1, -Qf, NEG_F32).astype(jnp.float32)
+    row0c = jax.lax.broadcasted_iota(jnp.int32, (CH, B), 0) == 0
+    row0f = jax.lax.broadcasted_iota(jnp.int32, (m, B), 0) == 0
+
+    rR_full = (
+        jax.lax.broadcasted_iota(jnp.int32, (m, B), 0).astype(jnp.float32) * Rf
+    )
     if local:
         H_ref[:] = jnp.zeros((m, B), jnp.float32)
     else:
         # H[i][0] = -(Q + (i-1) R) for query position i = row r + 1.
-        H_ref[:] = -(Qf + rR)
+        H_ref[:] = -(Qf + rR_full)
     E_ref[:] = jnp.full((m, B), NEG_F32, jnp.float32)
-    # scores_ref accumulates best (SW) / captured last-row H (NW).
-    scores_ref[:] = (
-        jnp.zeros((1, B), jnp.float32)
-        if local
-        else jnp.full((1, B), -(Qf + (m_real - 1) * Rf), jnp.float32)
-    )
+    if local:
+        A_ref[:] = jnp.zeros((m, B), jnp.float32)
+    else:
+        scores_ref[:] = jnp.full(
+            (1, B), -(Qf + (m_real - 1) * Rf), jnp.float32
+        )
+        if track_range:
+            A_ref[:] = jnp.zeros((m, B), jnp.float32)
+            L_ref[:] = jnp.zeros((m, B), jnp.float32)
     hi_ref[:] = jnp.zeros((1, B), jnp.float32)
     lo_ref[:] = jnp.zeros((1, B), jnp.float32)
 
-    def step(t, _):
-        H = H_ref[:]
-        E = E_ref[:]
-        s_t = subjects_ref[pl.ds(t, 1), :].astype(jnp.int32)  # (1, B)
+    # NW capture bookkeeping: the chunk holding query row m_real - 1.
+    kc = (m_real - 1) // CH
+    cap_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (CH, B), 0) == (m_real - 1) % CH
+    )
+    # Static per-chunk real-row masks for NW range tracking: rows >= m_real
+    # are -64-profile padding whose decayed H must not pollute hi/lo.
+    real_in_chunk = [
+        min(max(m_real - k * CH, 0), CH) for k in range(NCH)
+    ]
+    rmask_part = rid < jnp.int32((m_real - 1) % CH + 1)  # (CH, 1)
 
-        # Profile column via MXU: (m, 32) @ (32, B) one-hot.
+    lengths = lengths_ref[:].astype(jnp.int32)  # (1, B)
+
+    if subj_blocked:
+        def outer(kblk, _):
+            # int8 subjects can only be row-sliced at provable multiples of
+            # 8 (Mosaic (32,128) tiling): read an aligned 8-row block.
+            base = pl.multiple_of(kblk * 8, 8)
+            s_blk = subjects_ref[pl.ds(base, 8), :].astype(jnp.int32)
+            for u in range(8):
+                step(kblk * 8 + u, s_blk[u : u + 1, :])
+            return 0
+    else:
+        def outer(t, _):
+            # int32 rows load directly at any offset ((8,128) tiling) —
+            # measurably faster than the int8 block-extract path.
+            step(t, subjects_ref[pl.ds(t, 1), :])
+            return 0
+
+    def step(t, s_t):
         onehot = (
             jax.lax.broadcasted_iota(jnp.int32, (PADDED_ALPHABET, B), 0) == s_t
         ).astype(jnp.float32)
         S = jnp.dot(prof, onehot, preferred_element_type=jnp.float32)
 
-        # Previous column's boundary H[0][j-1] and this column's H[0][j].
         if local:
             h0_prev = jnp.float32(0.0)
-            h0_new = jnp.float32(0.0)
+            carry = jnp.full((1, B), NEG_F32, jnp.float32)
         else:
             tf = t.astype(jnp.float32)
             h0_prev = jnp.where(t == 0, 0.0, -(Qf + (tf - 1.0) * Rf))
             h0_new = -(Qf + tf * Rf)
+            # F entering row 0 from the top boundary of this column.
+            carry = jnp.full((1, B), h0_new - Qf, jnp.float32)
 
-        # E (horizontal) and the diagonal term (H shifted down one row,
-        # row 0 fed from the boundary).
-        E_new = jnp.maximum(E - Rf, H - Qf)
-        H_diag = jnp.where(row0_mask, h0_prev, pltpu.roll(H, shift=1, axis=0))
-        Hnof = jnp.maximum(H_diag + S, E_new)
-        if local:
-            Hnof = jnp.maximum(Hnof, 0.0)
+        Hd = jnp.where(row0f, h0_prev, pltpu.roll(H_ref[:], shift=1, axis=0))
+        if not local:
+            valid = t < lengths  # (1, B)
 
-        # F via prefix max of W[r] = Hnof[r] + r*R (exact lazy-F):
-        #   F[r] = max(C[r-1], h0_new - R) - Q - (r-1) R
-        C = _prefix_max(Hnof + rR, m)
-        C_shift = jnp.where(
-            row0_mask, NEG_F32, pltpu.roll(C, shift=1, axis=0)
-        )
-        F = jnp.maximum(C_shift, h0_new - Rf) - Qf - (rR - Rf)
-        H_new = jnp.maximum(Hnof, F)
+        for k in range(NCH):
+            sl = slice(k * CH, (k + 1) * CH)
+            Hp = H_ref[sl, :]
+            Ep = E_ref[sl, :]
+            E_new = jnp.maximum(Ep - Rf, Hp - Qf)
+            Hnof = jnp.maximum(Hd[sl, :] + S[sl, :], E_new)
+            if local:
+                Hnof = jnp.maximum(Hnof, 0.0)
+            # Seed the chunk-boundary carry into the confined scan:
+            #   D[j] = max_{j'<=j}(X[j'] - (j-j')R),  F[j] = D[j-1] - Q,
+            #   F[0] = carry;  X[0] = max(Hnof[0], carry + Q - R) makes the
+            #   carry decay correctly through the chunk and into the next.
+            X = jnp.where(row0c, jnp.maximum(Hnof, carry + (Qf - Rf)), Hnof)
+            D = X
+            for i, mk in enumerate(masks):
+                D = jnp.maximum(D, pltpu.roll(D, shift=1 << i, axis=0) + mk)
+            F = pltpu.roll(D, shift=1, axis=0) + fmask
+            F = jnp.where(row0c, carry, F)
+            H_new = jnp.maximum(Hnof, F)
+            H_ref[sl, :] = H_new
+            E_ref[sl, :] = E_new
+            carry = D[CH - 1 : CH, :] - Qf
+            if local:
+                A_ref[sl, :] = jnp.maximum(A_ref[sl, :], H_new)
+            else:
+                if k == kc:
+                    captured = jnp.max(
+                        jnp.where(cap_mask, H_new, NEG_F32),
+                        axis=0,
+                        keepdims=True,
+                    )
+                    scores_ref[:] = jnp.where(
+                        t == lengths - 1, captured, scores_ref[:]
+                    )
+                if track_range and real_in_chunk[k] > 0:
+                    if real_in_chunk[k] == CH:
+                        Hm = H_new
+                    else:
+                        Hm = jnp.where(rmask_part, H_new, 0.0)
+                    A_ref[sl, :] = jnp.maximum(
+                        A_ref[sl, :], jnp.where(valid, Hm, NEG_F32)
+                    )
+                    L_ref[sl, :] = jnp.minimum(
+                        L_ref[sl, :], jnp.where(valid, Hm, -NEG_F32)
+                    )
 
-        H_ref[:] = H_new
-        E_ref[:] = E_new
-
-        valid = t < lengths  # (1, B)
-        if local:
-            # Pad rows are exactly 0 in SW, so the unmasked max is correct.
-            col_max = jnp.max(H_new, axis=0, keepdims=True)
-            scores_ref[:] = jnp.where(
-                valid, jnp.maximum(scores_ref[:], col_max), scores_ref[:]
-            )
-        else:
-            # Masked reduce instead of a row slice: static slices at
-            # arbitrary sublane offsets upset Mosaic's alignment rules.
-            captured = jnp.max(
-                jnp.where(capture_row, H_new, NEG_F32), axis=0, keepdims=True
-            )
-            scores_ref[:] = jnp.where(
-                t == lengths - 1, captured, scores_ref[:]
-            )
-        if track_range:
-            H_masked = jnp.where(real_rows, H_new, 0.0)
-            col_max = jnp.max(H_masked, axis=0, keepdims=True)
-            col_min = jnp.min(H_masked, axis=0, keepdims=True)
-            hi_ref[:] = jnp.where(
-                valid, jnp.maximum(hi_ref[:], col_max), hi_ref[:]
-            )
-            lo_ref[:] = jnp.where(
-                valid, jnp.minimum(lo_ref[:], col_min), lo_ref[:]
-            )
-        return 0
-
-    jax.lax.fori_loop(0, n_pad, step, 0)
-    if not track_range:
+    jax.lax.fori_loop(0, n_pad // 8 if subj_blocked else n_pad, outer, 0)
+    if local:
+        # Pad rows/columns hold values <= the running max (pad scores are
+        # -64 and SW clamps at 0), so the unmasked reduce is exact.
+        scores_ref[:] = jnp.max(A_ref[:], axis=0, keepdims=True)
         hi_ref[:] = scores_ref[:]
-        lo_ref[:] = jnp.zeros((1, B), jnp.float32)
+        # SW H never drops below 0: lo is identically 0 (init value).
+    elif track_range:
+        hi_ref[:] = jnp.max(A_ref[:], axis=0, keepdims=True)
+        lo_ref[:] = jnp.min(L_ref[:], axis=0, keepdims=True)
 
 
 @functools.lru_cache(maxsize=256)
-def _build(m, m_real, n_pad, B, Q, R, local, track_range, b_tile, interpret):
+def _build(
+    m, m_real, n_pad, B, Q, R, local, track_range, b_tile, interpret, subj_bits
+):
     """Compile one (shape, gap, mode) specialization of the kernel."""
-    b_tile = min(b_tile, -(-B // 128) * 128)  # lane-multiple, <= requested
-    pad_b = (-B) % b_tile
+    # Fit the VMEM budget: H/E (+ A, + L for NW range) f32 scratch, the S
+    # column value, the Hd roll value, and the subjects block.
+    use_A = local or track_range
+    use_L = (not local) and track_range
+    n_arrays = 2 + 2  # H, E + S/Hd values in flight
+    n_arrays += (1 if use_A else 0) + (1 if use_L else 0)
+    per_lane = n_arrays * m * 4 + n_pad * (subj_bits // 8)
+    bt_max = max(128, (VMEM_BUDGET // per_lane) // 128 * 128)
+    bt_max = min(bt_max, b_tile)
+    # Split B into equal lane-multiple tiles so budget cuts don't create
+    # padding waste (e.g. B=2048 with a 1664 budget -> 2 tiles of 1024).
+    grid = max(1, -(-B // bt_max))
+    b_tile = -(-B // grid // 128) * 128
+    pad_b = grid * b_tile - B
     Bp = B + pad_b
-    grid = Bp // b_tile
 
     kernel = functools.partial(
         _kernel,
@@ -193,8 +247,10 @@ def _build(m, m_real, n_pad, B, Q, R, local, track_range, b_tile, interpret):
         n_pad=n_pad,
         Q=Q,
         R=R,
+        CH=8,
         local=local,
         track_range=track_range,
+        subj_blocked=(subj_bits == 8),
     )
     out_shape = [jax.ShapeDtypeStruct((1, Bp), jnp.float32)] * 3
     out_spec = pl.BlockSpec((1, b_tile), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -213,12 +269,17 @@ def _build(m, m_real, n_pad, B, Q, R, local, track_range, b_tile, interpret):
         scratch_shapes=[
             pltpu.VMEM((m, b_tile), jnp.float32),  # H
             pltpu.VMEM((m, b_tile), jnp.float32),  # E
+            pltpu.VMEM((m if use_A else 8, b_tile), jnp.float32),  # A
+            pltpu.VMEM((m if use_L else 8, b_tile), jnp.float32),  # L
         ],
         interpret=interpret,
     )
 
     @jax.jit
     def run(profile, subjects_T, lengths):
+        # Widen on-device inside the jit: int8 ships over the tunnel, the
+        # kernel wants int32 rows (loadable at any offset).
+        subjects_T = subjects_T.astype(jnp.int32)
         if pad_b:
             subjects_T = jnp.pad(
                 subjects_T, ((0, 0), (0, pad_b)), constant_values=0
@@ -240,7 +301,7 @@ def _build(m, m_real, n_pad, B, Q, R, local, track_range, b_tile, interpret):
 
 def interseq_scores_pallas(
     profile: jax.Array,  # (m, PADDED_ALPHABET) int32
-    subjects_T: jax.Array,  # (n_pad, B) int32
+    subjects_T: jax.Array,  # (n_pad, B) int
     lengths: jax.Array,  # (B,) int32
     gap_q,
     gap_r,
@@ -248,7 +309,7 @@ def interseq_scores_pallas(
     use_matmul: bool = True,  # accepted for interface parity; always MXU
     track_range: bool = False,
     dtype=jnp.float32,  # interface parity; kernel computes in f32
-    b_tile: int = 512,
+    b_tile: int = 2048,
     interpret: bool = False,
     m_real: int | None = None,
 ):
@@ -270,8 +331,18 @@ def interseq_scores_pallas(
         profile = jnp.pad(profile, ((0, pad_m), (0, 0)), constant_values=-64)
         m += pad_m
     n_pad, B = subjects_T.shape
+    pad_n = (-n_pad) % 8  # aligned 8-row subject reads (see _kernel.outer)
+    if pad_n:
+        # Pad with the PAD symbol (PADDED_ALPHABET-1: scores -64) so the
+        # SW best-accumulator stays exact and NW ignores them via lengths.
+        subjects_T = jnp.pad(
+            subjects_T, ((0, pad_n), (0, 0)),
+            constant_values=PADDED_ALPHABET - 1,
+        )
+        n_pad += pad_n
+    subj_bits = 32  # widened on-device inside run() before the kernel
     run = _build(
         m, mr, n_pad, B, int(gap_q), int(gap_r), bool(local),
-        bool(track_range), int(b_tile), bool(interpret),
+        bool(track_range), int(b_tile), bool(interpret), subj_bits,
     )
     return run(profile, subjects_T, lengths)
