@@ -1,0 +1,229 @@
+"""Benchmark suite: the five BASELINE.json configs.
+
+Each config prints ONE JSON line. ``bench.py`` (the driver's single-line
+hook) stays the kernel-level GCUPS number; this suite measures the
+end-to-end pipeline the way the reference's thesis benchmarks do —
+sequences/sec and aggregate GCUPS through the full search stack
+(packing, streaming, ladder, top-k).
+
+  1  Single query vs single subject, NW, score-only      (wavefront kernel)
+  2  SW affine vs the small bundled protein DB, top-10   (BIT16)
+  3  Adaptive 8->16/64 ladder on a 10k-sequence DB       (BIT8)
+  4  Batched multi-query search                          (EXACT)
+  5  Sharded mesh search + collective top-k merge        (all devices)
+
+Usage: python benchmarks/suite.py [--configs 1,2,3,4,5] [--full] [--cpu]
+
+--full runs config 4 at the BASELINE-spec 100 queries x 100k subjects
+(minutes of pure DP); the default is a 10 x 10k slice of the same shape.
+--cpu forces the 8-virtual-device CPU backend (tests the sharded path).
+Synthetic DBs use a Swiss-Prot-like length distribution (lognormal,
+median ~300, clipped to [50, 2000]).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def emit(config: int, metric: str, value: float, unit: str, **detail):
+    print(
+        json.dumps(
+            {
+                "config": config,
+                "metric": metric,
+                "value": round(float(value), 3),
+                "unit": unit,
+                **detail,
+            }
+        ),
+        flush=True,
+    )
+
+
+def synth_db(n_seqs: int, seed: int):
+    from libssa_tpu.constants import SymType
+    from libssa_tpu.io.db import SequenceDB
+
+    rng = np.random.default_rng(seed)
+    lengths = np.clip(
+        rng.lognormal(mean=5.7, sigma=0.55, size=n_seqs).astype(int), 50, 2000
+    )
+    seqs = [rng.integers(0, 20, L).astype(np.uint8) for L in lengths]
+    headers = [f"synth{i}" for i in range(n_seqs)]
+    return SequenceDB.from_sequences(headers, seqs, SymType.AMINOACID)
+
+
+def synth_query(m: int, seed: int):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 20, m).astype(np.uint8)
+
+
+def config1():
+    """1 query vs 1 subject, NW global, score-only (wavefront kernel)."""
+    import jax.numpy as jnp
+
+    from libssa_tpu import matrices, oracle
+    from libssa_tpu.ops.scoring import make_profile
+    from libssa_tpu.ops.wavefront import wavefront_pair_score
+
+    mat = matrices.builtin("BLOSUM62")
+    m = n = 512
+    q = synth_query(m, 1)
+    s = synth_query(n, 2)
+    prof = jnp.asarray(make_profile(q, mat.padded()), jnp.int32)
+    subj = jnp.asarray(s, jnp.int32)
+    gq, gr = jnp.int32(12), jnp.int32(1)
+
+    got = int(wavefront_pair_score(prof, subj, gq, gr, local=False))
+    want = oracle.nw_score(q, s, mat.scores, 11, 1)
+    assert got == want, f"wavefront NW {got} != oracle {want}"
+
+    reps = 20
+    np.asarray(wavefront_pair_score(prof, subj, gq, gr, local=False))
+    t0 = time.perf_counter()
+    for _ in range(reps - 1):
+        wavefront_pair_score(prof, subj, gq, gr, local=False)
+    np.asarray(wavefront_pair_score(prof, subj, gq, gr, local=False))
+    dt = (time.perf_counter() - t0) / reps
+    emit(
+        1, "1v1 NW pairs/sec", 1.0 / dt, "pairs/s",
+        gcups=round(m * n / dt / 1e9, 3), exact=True, m=m, n=n,
+    )
+
+
+def _engine(db, bit_width=None):
+    from libssa_tpu import matrices
+    from libssa_tpu.search.manager import SearchEngine
+
+    return SearchEngine(db, matrices.builtin("BLOSUM62"), 11, 1)
+
+
+def config2():
+    """SW top-10 against the bundled protein DB (BIT16)."""
+    from libssa_tpu.constants import BitWidth, SymType
+    from libssa_tpu.io.db import SequenceDB
+    from libssa_tpu.search.manager import SearchStats
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    db = SequenceDB.from_fasta(
+        os.path.join(root, "tests", "testdata", "proteins.fas"),
+        SymType.AMINOACID,
+    )
+    eng = _engine(db)
+    q = synth_query(256, 3)
+    stats = SearchStats()
+    eng.search(q, 10, local=True, bit_width=BitWidth.BIT16, stats=stats)  # warm
+    stats = SearchStats()
+    top_s, top_i = eng.search(q, 10, local=True, bit_width=BitWidth.BIT16, stats=stats)
+    emit(
+        2, "SW top-10 bundled DB seqs/sec", stats.subjects / stats.seconds,
+        "seqs/s", gcups=round(stats.gcups, 2), db_seqs=len(db),
+        top_score=int(top_s[0]),
+    )
+
+
+def config3(n_seqs=10_000):
+    """Adaptive 8->16/64 precision ladder on a 10k-sequence DB."""
+    from libssa_tpu.constants import BitWidth
+    from libssa_tpu.search.manager import SearchStats
+
+    db = synth_db(n_seqs, 4)
+    eng = _engine(db)
+    q = synth_query(256, 5)
+    eng.search(q, 10, local=True, bit_width=BitWidth.BIT8)  # warm/compile
+    stats = SearchStats()
+    eng.search(q, 10, local=True, bit_width=BitWidth.BIT8, stats=stats)
+    emit(
+        3, "adaptive-ladder 10k-DB seqs/sec", stats.subjects / stats.seconds,
+        "seqs/s", gcups=round(stats.gcups, 2),
+        rescored=stats.rescored, db_residues=int(db.total_residues),
+    )
+
+
+def config4(n_queries=10, n_seqs=10_000):
+    """Batched multi-query SW search (inter-sequence vectorization)."""
+    from libssa_tpu.search.manager import SearchStats
+
+    db = synth_db(n_seqs, 6)
+    eng = _engine(db)
+    queries = [synth_query(256, 100 + i) for i in range(n_queries)]
+    eng.search_many(queries, 10, local=True)  # warm/compile (same shapes)
+    stats = SearchStats()
+    eng.search_many(queries, 10, local=True, stats=stats)
+    emit(
+        4, "multi-query q*s/sec", stats.subjects / stats.seconds, "q*subj/s",
+        gcups=round(stats.gcups, 2), queries=n_queries, db_seqs=n_seqs,
+    )
+
+
+def config5(n_seqs=5_000):
+    """Sharded mesh search with the collective top-k merge."""
+    import jax
+
+    from libssa_tpu.parallel.sharded import ShardedSearchEngine, make_db_mesh
+    from libssa_tpu import matrices
+    from libssa_tpu.search.manager import SearchStats
+
+    db = synth_db(n_seqs, 7)
+    mesh = make_db_mesh()
+    eng = ShardedSearchEngine(db, matrices.builtin("BLOSUM62"), 11, 1, mesh=mesh)
+    sref = _engine(db)
+    q = synth_query(256, 8)
+    top_s, top_i = eng.search(q, 10)  # warm + correctness
+    ref_s, ref_i = sref.search(q, 10)
+    assert np.array_equal(np.asarray(top_s), ref_s), "sharded != single-device"
+    stats = SearchStats()
+    eng.search(q, 10, stats=stats)
+    emit(
+        5, "sharded-mesh seqs/sec", stats.subjects / stats.seconds, "seqs/s",
+        gcups=round(stats.gcups, 2), devices=int(mesh.devices.size),
+        backend=jax.default_backend(), merged_topk_exact=True,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--full", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from libssa_tpu.util.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    todo = {int(c) for c in args.configs.split(",")}
+    if 1 in todo:
+        config1()
+    if 2 in todo:
+        config2()
+    if 3 in todo:
+        config3()
+    if 4 in todo:
+        if args.full:
+            config4(n_queries=100, n_seqs=100_000)
+        else:
+            config4()
+    if 5 in todo:
+        config5()
+
+
+if __name__ == "__main__":
+    main()

@@ -64,13 +64,13 @@ def _kernel(
     *,
     m: int,
     m_real: int,
-    n_pad: int,
+    n_blk: int,
+    n_blocks: int,
     Q: int,
     R: int,
     CH: int,
     local: bool,
     track_range: bool,
-    subj_blocked: bool,
 ):
     B = subjects_ref.shape[1]
     NCH = m // CH
@@ -90,26 +90,31 @@ def _kernel(
     row0c = jax.lax.broadcasted_iota(jnp.int32, (CH, B), 0) == 0
     row0f = jax.lax.broadcasted_iota(jnp.int32, (m, B), 0) == 0
 
-    rR_full = (
-        jax.lax.broadcasted_iota(jnp.int32, (m, B), 0).astype(jnp.float32) * Rf
-    )
-    if local:
-        H_ref[:] = jnp.zeros((m, B), jnp.float32)
-    else:
-        # H[i][0] = -(Q + (i-1) R) for query position i = row r + 1.
-        H_ref[:] = -(Qf + rR_full)
-    E_ref[:] = jnp.full((m, B), NEG_F32, jnp.float32)
-    if local:
-        A_ref[:] = jnp.zeros((m, B), jnp.float32)
-    else:
-        scores_ref[:] = jnp.full(
-            (1, B), -(Qf + (m_real - 1) * Rf), jnp.float32
+    jblk = pl.program_id(1)  # n-block index: subjects stream over grid dim 1
+
+    @pl.when(jblk == 0)
+    def _init():
+        rR_full = (
+            jax.lax.broadcasted_iota(jnp.int32, (m, B), 0).astype(jnp.float32)
+            * Rf
         )
-        if track_range:
+        if local:
+            H_ref[:] = jnp.zeros((m, B), jnp.float32)
+        else:
+            # H[i][0] = -(Q + (i-1) R) for query position i = row r + 1.
+            H_ref[:] = -(Qf + rR_full)
+        E_ref[:] = jnp.full((m, B), NEG_F32, jnp.float32)
+        if local:
             A_ref[:] = jnp.zeros((m, B), jnp.float32)
-            L_ref[:] = jnp.zeros((m, B), jnp.float32)
-    hi_ref[:] = jnp.zeros((1, B), jnp.float32)
-    lo_ref[:] = jnp.zeros((1, B), jnp.float32)
+        else:
+            scores_ref[:] = jnp.full(
+                (1, B), -(Qf + (m_real - 1) * Rf), jnp.float32
+            )
+            if track_range:
+                A_ref[:] = jnp.zeros((m, B), jnp.float32)
+                L_ref[:] = jnp.zeros((m, B), jnp.float32)
+        hi_ref[:] = jnp.zeros((1, B), jnp.float32)
+        lo_ref[:] = jnp.zeros((1, B), jnp.float32)
 
     # NW capture bookkeeping: the chunk holding query row m_real - 1.
     kc = (m_real - 1) // CH
@@ -125,21 +130,11 @@ def _kernel(
 
     lengths = lengths_ref[:].astype(jnp.int32)  # (1, B)
 
-    if subj_blocked:
-        def outer(kblk, _):
-            # int8 subjects can only be row-sliced at provable multiples of
-            # 8 (Mosaic (32,128) tiling): read an aligned 8-row block.
-            base = pl.multiple_of(kblk * 8, 8)
-            s_blk = subjects_ref[pl.ds(base, 8), :].astype(jnp.int32)
-            for u in range(8):
-                step(kblk * 8 + u, s_blk[u : u + 1, :])
-            return 0
-    else:
-        def outer(t, _):
-            # int32 rows load directly at any offset ((8,128) tiling) —
-            # measurably faster than the int8 block-extract path.
-            step(t, subjects_ref[pl.ds(t, 1), :])
-            return 0
+    def outer(tl, _):
+        # int32 rows load directly at any offset ((8,128) tiling); the
+        # global column index offsets by this n-block's position.
+        step(jblk * n_blk + tl, subjects_ref[pl.ds(tl, 1), :])
+        return 0
 
     def step(t, s_t):
         onehot = (
@@ -207,16 +202,19 @@ def _kernel(
                         L_ref[sl, :], jnp.where(valid, Hm, -NEG_F32)
                     )
 
-    jax.lax.fori_loop(0, n_pad // 8 if subj_blocked else n_pad, outer, 0)
-    if local:
-        # Pad rows/columns hold values <= the running max (pad scores are
-        # -64 and SW clamps at 0), so the unmasked reduce is exact.
-        scores_ref[:] = jnp.max(A_ref[:], axis=0, keepdims=True)
-        hi_ref[:] = scores_ref[:]
-        # SW H never drops below 0: lo is identically 0 (init value).
-    elif track_range:
-        hi_ref[:] = jnp.max(A_ref[:], axis=0, keepdims=True)
-        lo_ref[:] = jnp.min(L_ref[:], axis=0, keepdims=True)
+    jax.lax.fori_loop(0, n_blk, outer, 0)
+
+    @pl.when(jblk == n_blocks - 1)
+    def _finalize():
+        if local:
+            # Pad rows/columns hold values <= the running max (pad scores
+            # are -64 and SW clamps at 0), so the unmasked reduce is exact.
+            scores_ref[:] = jnp.max(A_ref[:], axis=0, keepdims=True)
+            hi_ref[:] = scores_ref[:]
+            # SW H never drops below 0: lo is identically 0 (init value).
+        elif track_range:
+            hi_ref[:] = jnp.max(A_ref[:], axis=0, keepdims=True)
+            lo_ref[:] = jnp.min(L_ref[:], axis=0, keepdims=True)
 
 
 @functools.lru_cache(maxsize=256)
@@ -224,13 +222,19 @@ def _build(
     m, m_real, n_pad, B, Q, R, local, track_range, b_tile, interpret, subj_bits
 ):
     """Compile one (shape, gap, mode) specialization of the kernel."""
-    # Fit the VMEM budget: H/E (+ A, + L for NW range) f32 scratch, the S
-    # column value, the Hd roll value, and the subjects block.
+    # Subjects stream over grid dim 1 in n-blocks, so VMEM holds the DP
+    # state plus one (double-buffered) block — never the whole database
+    # chunk. Budget: H/E (+ A, + L) f32 scratch, S column + Hd roll values
+    # in flight, and 2x the subjects block.
+    del subj_bits  # widened to int32 on-device before the kernel
     use_A = local or track_range
     use_L = (not local) and track_range
     n_arrays = 2 + 2  # H, E + S/Hd values in flight
     n_arrays += (1 if use_A else 0) + (1 if use_L else 0)
-    per_lane = n_arrays * m * 4 + n_pad * (subj_bits // 8)
+    n_blk = min(n_pad, 256)
+    n_pad = -(-n_pad // n_blk) * n_blk
+    n_blocks = n_pad // n_blk
+    per_lane = n_arrays * m * 4 + 2 * n_blk * 4
     bt_max = max(128, (VMEM_BUDGET // per_lane) // 128 * 128)
     bt_max = min(bt_max, b_tile)
     # Split B into equal lane-multiple tiles so budget cuts don't create
@@ -244,25 +248,30 @@ def _build(
         _kernel,
         m=m,
         m_real=m_real,
-        n_pad=n_pad,
+        n_blk=n_blk,
+        n_blocks=n_blocks,
         Q=Q,
         R=R,
         CH=8,
         local=local,
         track_range=track_range,
-        subj_blocked=(subj_bits == 8),
     )
     out_shape = [jax.ShapeDtypeStruct((1, Bp), jnp.float32)] * 3
-    out_spec = pl.BlockSpec((1, b_tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, b_tile), lambda i, j: (0, i), memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=(grid, n_blocks),
         in_specs=[
             pl.BlockSpec(
-                (m, PADDED_ALPHABET), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (m, PADDED_ALPHABET), lambda i, j: (0, 0),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((n_pad, b_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, b_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (n_blk, b_tile), lambda i, j: (j, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, b_tile), lambda i, j: (0, i), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=[out_spec] * 3,
         out_shape=out_shape,
@@ -280,6 +289,12 @@ def _build(
         # Widen on-device inside the jit: int8 ships over the tunnel, the
         # kernel wants int32 rows (loadable at any offset).
         subjects_T = subjects_T.astype(jnp.int32)
+        if subjects_T.shape[0] < n_pad:
+            subjects_T = jnp.pad(
+                subjects_T,
+                ((0, n_pad - subjects_T.shape[0]), (0, 0)),
+                constant_values=PADDED_ALPHABET - 1,
+            )
         if pad_b:
             subjects_T = jnp.pad(
                 subjects_T, ((0, 0), (0, pad_b)), constant_values=0
@@ -326,20 +341,16 @@ def interseq_scores_pallas(
     del use_matmul, dtype
     m = profile.shape[0]
     mr = m_real if m_real is not None else m
+    if local:
+        # SW never reads m_real (pad rows clamp to 0 and the accumulator
+        # reduce is exact over them): canonicalize so every query length
+        # sharing a padded m reuses ONE compiled kernel.
+        mr = m + ((-m) % 32)
     pad_m = (-m) % 32
     if pad_m:
         profile = jnp.pad(profile, ((0, pad_m), (0, 0)), constant_values=-64)
         m += pad_m
     n_pad, B = subjects_T.shape
-    pad_n = (-n_pad) % 8  # aligned 8-row subject reads (see _kernel.outer)
-    if pad_n:
-        # Pad with the PAD symbol (PADDED_ALPHABET-1: scores -64) so the
-        # SW best-accumulator stays exact and NW ignores them via lengths.
-        subjects_T = jnp.pad(
-            subjects_T, ((0, pad_n), (0, 0)),
-            constant_values=PADDED_ALPHABET - 1,
-        )
-        n_pad += pad_n
     subj_bits = 32  # widened on-device inside run() before the kernel
     run = _build(
         m, mr, n_pad, B, int(gap_q), int(gap_r), bool(local),

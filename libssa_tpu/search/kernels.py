@@ -7,6 +7,8 @@ runtime). Here the choice is between the Pallas VMEM-resident kernel
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 
 from ..ops import interseq
@@ -41,3 +43,83 @@ def best_kernel(force: str | None = None):
 
         return interseq_pallas.interseq_scores_pallas
     return interseq.interseq_scores
+
+
+@functools.lru_cache(maxsize=128)
+def stage_sweep(
+    kernel_name: str,
+    gap_q: int,
+    gap_r: int,
+    local: bool,
+    use_matmul: bool,
+    dtype_str: str,
+    m_real: int | None,
+    eff_limit: int | None,
+):
+    """ONE-dispatch sweep of a whole precision-ladder stage.
+
+    Through the axon tunnel every device round trip costs ~40-60 ms
+    regardless of size (measured; the reference's pthread hand-off is
+    nanoseconds, so this is pure TPU-runtime surface). Per-chunk kernel
+    calls therefore dominate end-to-end sweeps. This fuses the full stage
+    into a single jitted call: every same-shape chunk group runs under a
+    ``jax.lax.map``, the per-group results are flattened and concatenated
+    on-device, and the ladder's overflow flags are computed in the same
+    program — so a stage is exactly one execute plus one fetch.
+
+    Returns ``sweep(profile, stacks) -> (scores_flat, flags_flat)`` where
+    ``stacks`` is a tuple of ``(codes (g, n_pad, B) int8, lengths (g, B))``
+    pairs (one per chunk shape) and the flat outputs follow the stack
+    order row-major. ``flags_flat`` is all-False when ``eff_limit`` is
+    None. Also returns ``sweep_multi(profiles, stacks_with_pairs)`` where
+    each stack entry is ``(codes, lengths, iq (P,), ic (P,))`` mapping
+    query/chunk index pairs for the multi-query sweep.
+    """
+    import jax.numpy as jnp
+
+    kern = best_kernel(None if kernel_name == "auto" else kernel_name)
+    dtype = jnp.float32 if dtype_str == "float32" else jnp.int32
+    track = eff_limit is not None
+
+    def one(profile, codes, lengths):
+        return kern(
+            profile, codes, lengths, gap_q, gap_r,
+            local=local, use_matmul=use_matmul, track_range=track,
+            dtype=dtype, m_real=m_real,
+        )
+
+    def _flat(parts):
+        s = jnp.concatenate([s.reshape(-1) for s, _, _ in parts])
+        if track:
+            f = jnp.concatenate(
+                [
+                    interseq.overflow_flags(s_, hi, lo, eff_limit, local)
+                    .reshape(-1)
+                    for s_, hi, lo in parts
+                ]
+            )
+        else:
+            f = jnp.zeros(s.shape, bool)
+        return s, f
+
+    @jax.jit
+    def sweep(profile, stacks):
+        parts = [
+            jax.lax.map(lambda x: one(profile, x[0], x[1]), (codes, lens))
+            for codes, lens in stacks
+        ]
+        return _flat(parts)
+
+    @jax.jit
+    def sweep_multi(profiles, stacks):
+        parts = []
+        for codes, lens, iq, ic in stacks:
+            parts.append(
+                jax.lax.map(
+                    lambda x: one(profiles[x[0]], codes[x[1]], lens[x[1]]),
+                    (iq, ic),
+                )
+            )
+        return _flat(parts)
+
+    return sweep, sweep_multi

@@ -120,40 +120,54 @@ class SearchEngine:
             eff_limit = min(limit, F32_WINDOW) if limit is not None else F32_WINDOW
         track = eff_limit is not None
 
-        kernel = self._kernel_fn(dtype_str)
+        from . import kernels
+
         profile_j = jnp.asarray(profile, jnp.int32)
         # Rescore passes touch few subjects: shrink the batch (power-of-two
         # so the jit cache stays small) instead of padding to full width.
         bs = min(p.batch_size, max(8, 1 << (max(len(db), 1) - 1).bit_length()))
-        pending = []
+
+        # The whole stage runs as ONE device dispatch + ONE fetch: every
+        # same-shape chunk group sweeps under a lax.map inside a single
+        # jit which also concatenates results and computes overflow flags
+        # on-device. Through the axon tunnel each round trip costs
+        # ~40-60 ms flat, so per-chunk calls would dominate the sweep
+        # (measured: 40x on a 10k-seq DB).
+        groups: dict[int, list] = {}
         for chunk in db.chunks(bs, p.length_multiple):
-            s, hi, lo = kernel(
-                profile_j,
-                jnp.asarray(np.ascontiguousarray(chunk.codes.T), jnp.int8),
-                jnp.asarray(chunk.lengths, jnp.int32),
-                jnp.int32(self.gap_q),
-                jnp.int32(self.gap_r),
-                local=local,
-                use_matmul=p.use_matmul,
-                track_range=track,
-                dtype=dtype,
-                m_real=m_real,
+            groups.setdefault(chunk.codes.shape[1], []).append(chunk)
+        # SW ignores m_real (pad rows clamp to 0): drop it from the stage
+        # key so all query lengths share one compiled stage per shape.
+        sweep, _ = kernels.stage_sweep(
+            self.params.kernel if dtype_str != "int32" else "scan",
+            int(self.gap_q), int(self.gap_r), local, p.use_matmul,
+            dtype_str, None if local else m_real, eff_limit,
+        )
+        stacks = tuple(
+            (
+                np.stack([np.ascontiguousarray(c.codes.T) for c in chs])
+                .astype(np.int8),
+                np.stack([c.lengths for c in chs]).astype(np.int32),
             )
-            flags = (
-                interseq.overflow_flags(s, hi, lo, eff_limit, local)
-                if track
-                else None
-            )
-            pending.append((chunk.seq_ids, s, flags))
+            for chs in groups.values()
+        )
+        s_flat, f_flat = sweep(profile_j, stacks)
+        s_all = np.asarray(s_flat)
+        f_all = np.asarray(f_flat) if track else None
 
         scores = np.zeros(len(db), dtype=np.int64)
         over: list[np.ndarray] = []
-        for seq_ids, s, flags in pending:
-            lanes = seq_ids >= 0
-            local_ids = seq_ids[lanes]
-            scores[local_ids] = np.asarray(s)[lanes]
-            if flags is not None:
-                over.append(local_ids[np.asarray(flags)[lanes]])
+        off = 0
+        for chs in groups.values():
+            for c in chs:
+                seq_ids = c.seq_ids
+                nb = len(seq_ids)
+                lanes = seq_ids >= 0
+                local_ids = seq_ids[lanes]
+                scores[local_ids] = s_all[off : off + nb][lanes]
+                if f_all is not None:
+                    over.append(local_ids[f_all[off : off + nb][lanes]])
+                off += nb
         over_ids = (
             np.concatenate(over).astype(np.int32)
             if over
@@ -262,33 +276,95 @@ class SearchEngine:
                 prof = np.pad(prof, ((0, pad_m), (0, 0)), constant_values=-64)
             profs.append((jnp.asarray(prof, jnp.int32), len(q)))
 
-        kernel = self._kernel_fn(p.dtype)
-        dtype = jnp.float32 if p.dtype == "float32" else jnp.int32
-        gq, gr = jnp.int32(self.gap_q), jnp.int32(self.gap_r)
-        pending = []
+        from . import kernels
+
+        track = p.dtype == "float32"
+        # Group queries by padded profile height and chunks by padded
+        # subject length, then sweep every (query, chunk) pair of a group
+        # pair in ONE device dispatch (~60 ms each through the tunnel —
+        # per-pair calls would cost Q x chunks dispatches).
+        qgroups: dict[int, list[int]] = {}
+        for qi, (prof_j, _) in enumerate(profs):
+            qgroups.setdefault(prof_j.shape[0], []).append(qi)
+        cgroups: dict[int, list] = {}
         for chunk in self.db.chunks(p.batch_size, p.length_multiple):
-            codes_j = jnp.asarray(np.ascontiguousarray(chunk.codes.T), jnp.int8)
-            lengths_j = jnp.asarray(chunk.lengths, jnp.int32)
-            for qi, (prof_j, m_real) in enumerate(profs):
-                s, hi, lo = kernel(
-                    prof_j, codes_j, lengths_j, gq, gr,
-                    local=local, use_matmul=p.use_matmul,
-                    track_range=(p.dtype == "float32"),
-                    dtype=dtype, m_real=m_real,
+            cgroups.setdefault(chunk.codes.shape[1], []).append(chunk)
+
+        eff_limit = F32_WINDOW if track else None
+        results = []  # (row_map: [(qi, seq_ids)], s_all, f_all)
+        for mq, qids in qgroups.items():
+            prof_stack = jnp.stack([profs[qi][0] for qi in qids])
+            if local:
+                # All (query, chunk) pairs of this profile-height group in
+                # ONE dispatch: per-group stacks carry their pair indices.
+                _, sweep_multi = kernels.stage_sweep(
+                    p.kernel, int(self.gap_q), int(self.gap_r), local,
+                    p.use_matmul, p.dtype, None, eff_limit,
                 )
-                pending.append((qi, chunk.seq_ids, s, hi, lo))
+                stacks = []
+                row_map = []
+                nq = len(qids)
+                for chs in cgroups.values():
+                    codes = np.stack(
+                        [np.ascontiguousarray(c.codes.T) for c in chs]
+                    ).astype(np.int8)
+                    lens = np.stack([c.lengths for c in chs]).astype(np.int32)
+                    nc = len(chs)
+                    iq = np.repeat(np.arange(nq, dtype=np.int32), nc)
+                    ic = np.tile(np.arange(nc, dtype=np.int32), nq)
+                    stacks.append((codes, lens, iq, ic))
+                    row_map.extend(
+                        (qids[qr], chs[cr].seq_ids) for qr, cr in zip(iq, ic)
+                    )
+                s_flat, f_flat = sweep_multi(prof_stack, tuple(stacks))
+                results.append(
+                    (
+                        row_map,
+                        np.asarray(s_flat),
+                        np.asarray(f_flat) if track else None,
+                    )
+                )
+            else:
+                # NW capture depends on the true query length (a static
+                # kernel parameter): per-query sweeps.
+                for qi in qids:
+                    sweep, _ = kernels.stage_sweep(
+                        p.kernel, int(self.gap_q), int(self.gap_r), local,
+                        p.use_matmul, p.dtype, profs[qi][1], eff_limit,
+                    )
+                    stacks = []
+                    row_map = []
+                    for chs in cgroups.values():
+                        codes = np.stack(
+                            [np.ascontiguousarray(c.codes.T) for c in chs]
+                        ).astype(np.int8)
+                        lens = np.stack(
+                            [c.lengths for c in chs]
+                        ).astype(np.int32)
+                        stacks.append((codes, lens))
+                        row_map.extend((qi, c.seq_ids) for c in chs)
+                    s_flat, f_flat = sweep(profs[qi][0], tuple(stacks))
+                    results.append(
+                        (
+                            row_map,
+                            np.asarray(s_flat),
+                            np.asarray(f_flat) if track else None,
+                        )
+                    )
 
         scores = np.zeros((len(queries), len(self.db)), dtype=np.int64)
         needs_exact: list[tuple[int, int]] = []
-        for qi, seq_ids, s, hi, lo in pending:
-            lanes = seq_ids >= 0
-            ids = seq_ids[lanes]
-            scores[qi, ids] = np.asarray(s)[lanes]
-            if p.dtype == "float32":
-                flags = np.asarray(
-                    interseq.overflow_flags(s, hi, lo, F32_WINDOW, local)
-                )[lanes]
-                needs_exact.extend((qi, int(i)) for i in ids[flags])
+        for row_map, s_all, f_all in results:
+            off = 0
+            for qi, seq_ids in row_map:
+                nb = len(seq_ids)
+                lanes = seq_ids >= 0
+                ids = seq_ids[lanes]
+                scores[qi, ids] = s_all[off : off + nb][lanes]
+                if f_all is not None:
+                    flags = f_all[off : off + nb][lanes]
+                    needs_exact.extend((qi, int(i)) for i in ids[flags])
+                off += nb
         # f32-window escapees (astronomically rare): exact int32 rescore.
         for qi, sid in needs_exact:
             sub = self.db.subset(np.array([sid], dtype=np.int32))
