@@ -72,30 +72,38 @@ def config1():
 
     from libssa_tpu import matrices, oracle
     from libssa_tpu.ops.scoring import make_profile
-    from libssa_tpu.ops.wavefront import wavefront_pair_score
+    from libssa_tpu.ops.wavefront import (
+        wavefront_pair_score,
+        wavefront_pair_scores_batch,
+    )
 
     mat = matrices.builtin("BLOSUM62")
     m = n = 512
+    P = 32
     q = synth_query(m, 1)
-    s = synth_query(n, 2)
+    subs = np.stack([synth_query(n, 2 + i) for i in range(P)])
     prof = jnp.asarray(make_profile(q, mat.padded()), jnp.int32)
-    subj = jnp.asarray(s, jnp.int32)
+    subj = jnp.asarray(subs, jnp.int32)
     gq, gr = jnp.int32(12), jnp.int32(1)
 
-    got = int(wavefront_pair_score(prof, subj, gq, gr, local=False))
-    want = oracle.nw_score(q, s, mat.scores, 11, 1)
-    assert got == want, f"wavefront NW {got} != oracle {want}"
+    lens = jnp.full((P,), n, jnp.int32)
+    got = np.asarray(
+        wavefront_pair_scores_batch(prof, subj, lens, gq, gr, local=False)
+    )
+    want = oracle.nw_score(q, subs[0], mat.scores, 11, 1)
+    assert got[0] == want, f"wavefront NW {got[0]} != oracle {want}"
 
-    reps = 20
-    np.asarray(wavefront_pair_score(prof, subj, gq, gr, local=False))
+    reps = 10
     t0 = time.perf_counter()
     for _ in range(reps - 1):
-        wavefront_pair_score(prof, subj, gq, gr, local=False)
-    np.asarray(wavefront_pair_score(prof, subj, gq, gr, local=False))
+        wavefront_pair_scores_batch(prof, subj, lens, gq, gr, local=False)
+    np.asarray(
+        wavefront_pair_scores_batch(prof, subj, lens, gq, gr, local=False)
+    )
     dt = (time.perf_counter() - t0) / reps
     emit(
-        1, "1v1 NW pairs/sec", 1.0 / dt, "pairs/s",
-        gcups=round(m * n / dt / 1e9, 3), exact=True, m=m, n=n,
+        1, "1v1 NW pairs/sec (batch 32/dispatch)", P / dt, "pairs/s",
+        gcups=round(P * m * n / dt / 1e9, 3), exact=True, m=m, n=n,
     )
 
 

@@ -34,19 +34,14 @@ from ..constants import PADDED_ALPHABET
 NEG = jnp.float32(-(2.0**24))
 
 
-@functools.partial(jax.jit, static_argnames=("local", "m_real"))
-def wavefront_pair_score(
-    profile: jax.Array,  # (m, PADDED_ALPHABET) int32 query profile
-    subject: jax.Array,  # (n,) int32 codes (exact length, no padding)
-    gap_q: jax.Array,  # int32 scalar open+extend
-    gap_r: jax.Array,  # int32 scalar extend
-    local: bool = True,
-    m_real: int | None = None,
+def _wavefront_score(
+    profile, subject, gap_q, gap_r, n_real, *, local: bool, m_real: int | None
 ):
-    """Optimal SW/NW score of one (query, subject) pair, exact int32.
+    """Core single-pair sweep; ``n_real`` a traced scalar <= len(subject).
 
-    f32 arithmetic, exact for |score| < 2**24 like the batched kernels.
-    ``m_real``: true query length when the profile carries pad rows.
+    Positions beyond ``n_real`` must hold the PAD symbol (callers pad with
+    PADDED_ALPHABET-1); they are masked out of every max, so batched pads
+    are exact for SW and NW alike.
     """
     m = profile.shape[0]
     mr = m_real if m_real is not None else m
@@ -57,7 +52,7 @@ def wavefront_pair_score(
 
     ii = jnp.arange(1, m + 1, dtype=jnp.int32)  # query index per lane
 
-    # Padded subject so s[j-1] gathers stay in bounds on partial diagonals.
+    # Padded subject so s[j-1] reads stay in bounds on partial diagonals.
     pad = jnp.full((m + 2,), PADDED_ALPHABET - 1, jnp.int32)
     s_pad = jnp.concatenate([subject.astype(jnp.int32), pad])
 
@@ -79,13 +74,16 @@ def wavefront_pair_score(
     def step(carry, d):
         Hp, Hc, Ec, Fc, best, nw = carry
         j = d - ii  # (m,) subject index per lane
-        valid = (ii <= mr) & (j >= 1) & (j <= n)
+        valid = (ii <= mr) & (j >= 1) & (j <= n_real)
 
-        # Substitution scores S[i] = sub(q[i], s[j]).
+        # Substitution scores S[i] = sub(q[i], s[j]): one-hot reduction
+        # instead of a gather — TPU gathers are ~10x slower (measured).
         s_codes = s_pad[jnp.clip(j - 1, 0, n + m + 1)]
-        S = jnp.take_along_axis(
-            prof, s_codes[:, None].astype(jnp.int32), axis=1
-        )[:, 0]
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (m, PADDED_ALPHABET), 1)
+            == s_codes[:, None]
+        )
+        S = jnp.sum(jnp.where(onehot, prof, 0.0), axis=1)
 
         # E: from (i, j-1) on diag d-1, same lane; j-1 == 0 -> column bound.
         H_left = jnp.where(j == 1, cb(ii), Hc)
@@ -116,7 +114,7 @@ def wavefront_pair_score(
         if local:
             best = jnp.maximum(best, jnp.max(H_new))
         else:
-            hit = (ii == mr) & (j == n)
+            hit = (ii == mr) & (j == n_real)
             nw = jnp.maximum(nw, jnp.max(jnp.where(hit, H_new, NEG)))
         return (Hc, H_new, E_new, F_new, best, nw), None
 
@@ -126,6 +124,50 @@ def wavefront_pair_score(
     )
     score = best if local else nw
     return score.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("local", "m_real"))
+def wavefront_pair_score(
+    profile: jax.Array,  # (m, PADDED_ALPHABET) int32 query profile
+    subject: jax.Array,  # (n,) int32 codes (exact length, no padding)
+    gap_q: jax.Array,  # int32 scalar open+extend
+    gap_r: jax.Array,  # int32 scalar extend
+    local: bool = True,
+    m_real: int | None = None,
+):
+    """Optimal SW/NW score of one (query, subject) pair, exact int32.
+
+    f32 arithmetic, exact for |score| < 2**24 like the batched kernels.
+    ``m_real``: true query length when the profile carries pad rows.
+    """
+    n = subject.shape[0]
+    return _wavefront_score(
+        profile, subject, gap_q, gap_r, jnp.int32(n),
+        local=local, m_real=m_real,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("local", "m_real"))
+def wavefront_pair_scores_batch(
+    profile: jax.Array,  # (m, PADDED_ALPHABET) int32, shared query
+    subjects: jax.Array,  # (P, n) int32 codes, PAD-padded
+    lengths: jax.Array,  # (P,) int32 true subject lengths
+    gap_q: jax.Array,
+    gap_r: jax.Array,
+    local: bool = True,
+    m_real: int | None = None,
+):
+    """Score one query against P subjects: one dispatch, vmapped sweep.
+
+    ``vmap`` turns the per-diagonal (m,) vectors into (P, m) tiles — real
+    vector widths — and a single dispatch avoids the ~40-60 ms tunnel
+    round trip per pair. Exact for SW and NW: positions past ``lengths``
+    must hold the PAD symbol and are masked out of every max.
+    """
+    return jax.vmap(
+        functools.partial(_wavefront_score, local=local, m_real=m_real),
+        in_axes=(None, 0, None, None, 0),
+    )(profile, subjects, gap_q, gap_r, lengths.astype(jnp.int32))
 
 
 def pair_score(q_codes, s_codes, matrix_padded, gap_open, gap_extend, local=True):

@@ -248,6 +248,7 @@ class ShardedSearchEngine:
         all_s: list[np.ndarray] = []
         all_i: list[np.ndarray] = []
         flagged: list[np.ndarray] = []
+        pending = []  # (ids, top_s, top_i, flags) device arrays; fetch once
         for step_idx, (codes, lengths, ids) in enumerate(self._chunk_plan()):
             try:
                 if self.fault_injector is not None:
@@ -268,15 +269,12 @@ class ShardedSearchEngine:
                     m_real=m_real,
                     kernel_impl=self._kernel_impl(),
                 )
-                scores_np = np.asarray(scores)
-                hi_np, lo_np = np.asarray(hi), np.asarray(lo)
-                all_s.append(np.asarray(top_s))
-                all_i.append(np.asarray(top_i))
-                if track:
-                    flags = np.asarray(
-                        interseq.overflow_flags(scores_np, hi_np, lo_np, eff_limit, local)
-                    )
-                    flagged.append(ids[(ids >= 0) & flags])
+                flags = (
+                    interseq.overflow_flags(scores, hi, lo, eff_limit, local)
+                    if track
+                    else None
+                )
+                pending.append((ids, top_s, top_i, flags))
             except Exception:
                 # Chunk re-queue on the fallback engine (SURVEY.md §5
                 # failure detection: shards are independently restartable).
@@ -288,6 +286,33 @@ class ShardedSearchEngine:
                 ).score_all(q_codes, local, BitWidth.EXACT, stats)
                 all_s.append(r.astype(np.int64))
                 all_i.append(ids[valid].astype(np.int32))
+        if pending:
+            # TWO device->host fences for the whole sweep — replicated
+            # top-k lists and sharded flags can't share one concatenate
+            # (each fence costs ~40 ms through the tunnel; see
+            # search.manager._stage_scores).
+            tops = np.asarray(
+                jnp.concatenate(
+                    [
+                        jnp.concatenate([s.astype(jnp.int32), i])
+                        for _, s, i, _ in pending
+                    ]
+                )
+            )
+            off = 0
+            for ids, _, _, _ in pending:
+                all_s.append(tops[off : off + k].astype(np.int64))
+                all_i.append(tops[off + k : off + 2 * k].astype(np.int32))
+                off += 2 * k
+            if track:
+                fl = np.asarray(
+                    jnp.concatenate([f for _, _, _, f in pending])
+                )
+                off = 0
+                for ids, _, _, _ in pending:
+                    flags = fl[off : off + len(ids)].astype(bool)
+                    flagged.append(ids[(ids >= 0) & flags])
+                    off += len(ids)
         stats.cells += len(q_codes) * self.db.total_residues
         stats.subjects += len(self.db)
 
