@@ -226,6 +226,35 @@ class SequenceDB:
                 seq_ids[lane] = sid
             yield Chunk(codes=codes, lengths=lengths, seq_ids=seq_ids)
 
+    def grouped_stacks(self, batch_size: int, length_multiple: int = 32):
+        """Chunks grouped by padded length, stacked, transposed, cached.
+
+        Returns ``[(codes (g, n_pad, B) int8, lengths (g, B) int32,
+        seq_id_list), ...]`` — exactly the host arrays a stage sweep
+        uploads. Packing a large DB costs tens of ms per call and every
+        ladder stage / query of a multi-query sweep reuses the identical
+        arrays, so they are cached per (batch_size, length_multiple).
+        """
+        key = (int(batch_size), int(length_multiple))
+        cached = getattr(self, "_stack_cache", None)
+        if cached is None:
+            cached = self._stack_cache = {}
+        if key not in cached:
+            groups: dict[int, list[Chunk]] = {}
+            for chunk in self.chunks(batch_size, length_multiple):
+                groups.setdefault(chunk.codes.shape[1], []).append(chunk)
+            cached[key] = [
+                (
+                    np.stack(
+                        [np.ascontiguousarray(c.codes.T) for c in chs]
+                    ).astype(np.int8),
+                    np.stack([c.lengths for c in chs]).astype(np.int32),
+                    [c.seq_ids for c in chs],
+                )
+                for chs in groups.values()
+            ]
+        return cached[key]
+
     def long_sequence_ids(self, max_length: int) -> np.ndarray:
         return np.nonzero(self.lengths > max_length)[0].astype(np.int32)
 

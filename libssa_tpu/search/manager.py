@@ -133,9 +133,7 @@ class SearchEngine:
         # on-device. Through the axon tunnel each round trip costs
         # ~40-60 ms flat, so per-chunk calls would dominate the sweep
         # (measured: 40x on a 10k-seq DB).
-        groups: dict[int, list] = {}
-        for chunk in db.chunks(bs, p.length_multiple):
-            groups.setdefault(chunk.codes.shape[1], []).append(chunk)
+        grouped = db.grouped_stacks(bs, p.length_multiple)
         # SW ignores m_real (pad rows clamp to 0): drop it from the stage
         # key so all query lengths share one compiled stage per shape.
         sweep, _ = kernels.stage_sweep(
@@ -143,14 +141,7 @@ class SearchEngine:
             int(self.gap_q), int(self.gap_r), local, p.use_matmul,
             dtype_str, None if local else m_real, eff_limit,
         )
-        stacks = tuple(
-            (
-                np.stack([np.ascontiguousarray(c.codes.T) for c in chs])
-                .astype(np.int8),
-                np.stack([c.lengths for c in chs]).astype(np.int32),
-            )
-            for chs in groups.values()
-        )
+        stacks = tuple((codes, lens) for codes, lens, _ in grouped)
         s_flat, f_flat = sweep(profile_j, stacks)
         s_all = np.asarray(s_flat)
         f_all = np.asarray(f_flat) if track else None
@@ -158,9 +149,8 @@ class SearchEngine:
         scores = np.zeros(len(db), dtype=np.int64)
         over: list[np.ndarray] = []
         off = 0
-        for chs in groups.values():
-            for c in chs:
-                seq_ids = c.seq_ids
+        for _, _, seq_id_list in grouped:
+            for seq_ids in seq_id_list:
                 nb = len(seq_ids)
                 lanes = seq_ids >= 0
                 local_ids = seq_ids[lanes]
@@ -286,9 +276,7 @@ class SearchEngine:
         qgroups: dict[int, list[int]] = {}
         for qi, (prof_j, _) in enumerate(profs):
             qgroups.setdefault(prof_j.shape[0], []).append(qi)
-        cgroups: dict[int, list] = {}
-        for chunk in self.db.chunks(p.batch_size, p.length_multiple):
-            cgroups.setdefault(chunk.codes.shape[1], []).append(chunk)
+        grouped = self.db.grouped_stacks(p.batch_size, p.length_multiple)
 
         eff_limit = F32_WINDOW if track else None
         results = []  # (row_map: [(qi, seq_ids)], s_all, f_all)
@@ -304,17 +292,13 @@ class SearchEngine:
                 stacks = []
                 row_map = []
                 nq = len(qids)
-                for chs in cgroups.values():
-                    codes = np.stack(
-                        [np.ascontiguousarray(c.codes.T) for c in chs]
-                    ).astype(np.int8)
-                    lens = np.stack([c.lengths for c in chs]).astype(np.int32)
-                    nc = len(chs)
+                for codes, lens, seq_id_list in grouped:
+                    nc = len(seq_id_list)
                     iq = np.repeat(np.arange(nq, dtype=np.int32), nc)
                     ic = np.tile(np.arange(nc, dtype=np.int32), nq)
                     stacks.append((codes, lens, iq, ic))
                     row_map.extend(
-                        (qids[qr], chs[cr].seq_ids) for qr, cr in zip(iq, ic)
+                        (qids[qr], seq_id_list[cr]) for qr, cr in zip(iq, ic)
                     )
                 s_flat, f_flat = sweep_multi(prof_stack, tuple(stacks))
                 results.append(
@@ -334,15 +318,9 @@ class SearchEngine:
                     )
                     stacks = []
                     row_map = []
-                    for chs in cgroups.values():
-                        codes = np.stack(
-                            [np.ascontiguousarray(c.codes.T) for c in chs]
-                        ).astype(np.int8)
-                        lens = np.stack(
-                            [c.lengths for c in chs]
-                        ).astype(np.int32)
+                    for codes, lens, seq_id_list in grouped:
                         stacks.append((codes, lens))
-                        row_map.extend((qi, c.seq_ids) for c in chs)
+                        row_map.extend((qi, sids) for sids in seq_id_list)
                     s_flat, f_flat = sweep(profs[qi][0], tuple(stacks))
                     results.append(
                         (

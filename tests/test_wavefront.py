@@ -67,3 +67,36 @@ def test_wavefront_matches_interseq_long():
         profile, s[None, :].astype(np.int32), np.array([300], np.int32), 11, 1, local=True
     )
     assert pair_score(q, s, PADDED, 10, 1) == batch[0]
+
+
+def test_wavefront_batch_ragged_vs_oracle():
+    """Batched ragged pairs: PAD masking must be exact for SW and NW."""
+    import jax.numpy as jnp
+
+    from libssa_tpu import oracle
+    from libssa_tpu.constants import PADDED_ALPHABET
+    from libssa_tpu.ops.scoring import make_profile
+    from libssa_tpu.ops.wavefront import wavefront_pair_scores_batch
+
+    rng = np.random.default_rng(9)
+    q = rng.integers(0, 20, 33).astype(np.uint8)
+    lens = [7, 40, 21, 1]
+    subs = np.full((4, 40), PADDED_ALPHABET - 1, np.int64)
+    raw = [rng.integers(0, 20, L).astype(np.uint8) for L in lens]
+    for i, s in enumerate(raw):
+        subs[i, : len(s)] = s
+    prof = jnp.asarray(make_profile(q, PADDED), jnp.int32)
+    for local in (True, False):
+        got = np.asarray(
+            wavefront_pair_scores_batch(
+                prof,
+                jnp.asarray(subs, jnp.int32),
+                jnp.asarray(lens, jnp.int32),
+                jnp.int32(11),
+                jnp.int32(1),
+                local=local,
+            )
+        )
+        fn = oracle.sw_score if local else oracle.nw_score
+        want = [fn(q, s, B62.scores, 10, 1) for s in raw]
+        assert list(got) == want, (local, list(got), want)
