@@ -1,0 +1,54 @@
+"""Device-spanning ring DP (parallel/ring.py) vs the scalar oracle.
+
+Runs on the 8-virtual-device CPU mesh from conftest.py — the collective
+boundary exchange (ppermute) is exercised for real across shards.
+"""
+import numpy as np
+import pytest
+
+from libssa_tpu import matrices, oracle
+from libssa_tpu.parallel.ring import ring_score
+from libssa_tpu.parallel.sharded import make_db_mesh
+
+B62 = matrices.builtin("BLOSUM62")
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_db_mesh()
+
+
+@pytest.mark.parametrize("m,n", [(128, 1024), (100, 777), (64, 64), (96, 40)])
+def test_ring_sw_matches_oracle(mesh, m, n):
+    rng = np.random.default_rng(m * 1000 + n)
+    q = rng.integers(0, 20, m).astype(np.uint8)
+    s = rng.integers(0, 20, n).astype(np.uint8)
+    got = ring_score(q, s, B62.padded(), 11, 1, local=True, mesh=mesh, RB=32)
+    assert got == oracle.sw_score(q, s, B62.scores, 11, 1)
+
+
+@pytest.mark.parametrize("m,n", [(128, 1024), (128, 777), (64, 111)])
+def test_ring_nw_matches_oracle(mesh, m, n):
+    rng = np.random.default_rng(m * 1000 + n + 7)
+    q = rng.integers(0, 20, m).astype(np.uint8)
+    s = rng.integers(0, 20, n).astype(np.uint8)
+    got = ring_score(q, s, B62.padded(), 11, 1, local=False, mesh=mesh, RB=32)
+    assert got == oracle.nw_score(q, s, B62.scores, 11, 1)
+
+
+def test_ring_single_device():
+    mesh1 = make_db_mesh(1)
+    rng = np.random.default_rng(3)
+    q = rng.integers(0, 20, 70).astype(np.uint8)
+    s = rng.integers(0, 20, 200).astype(np.uint8)
+    got = ring_score(q, s, B62.padded(), 11, 1, local=True, mesh=mesh1, RB=32)
+    assert got == oracle.sw_score(q, s, B62.scores, 11, 1)
+
+
+def test_ring_gap_conventions(mesh):
+    rng = np.random.default_rng(5)
+    q = rng.integers(0, 20, 64).astype(np.uint8)
+    s = rng.integers(0, 20, 300).astype(np.uint8)
+    for go, ge in [(5, 2), (20, 1)]:
+        got = ring_score(q, s, B62.padded(), go, ge, local=True, mesh=mesh)
+        assert got == oracle.sw_score(q, s, B62.scores, go, ge)
