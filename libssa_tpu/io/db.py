@@ -203,22 +203,43 @@ class SequenceDB:
         length_multiple: int = 32,
         max_length: int | None = None,
         pow2_buckets: bool = True,
+        adaptive_lanes: bool = True,
     ) -> Iterator[Chunk]:
         """Yield length-sorted padded batches covering the whole DB.
 
         Subjects longer than ``max_length`` (if given) are *not* yielded
         here; fetch them via ``long_sequence_ids`` for the wavefront path.
+
+        ``adaptive_lanes``: long-sequence batches shrink their lane count
+        (power-of-two, >= 8) so one 35k-residue outlier doesn't force
+        ``batch_size`` lanes padded to 35k columns — the lane*column cell
+        budget stays near ``batch_size * 1024`` per chunk. Disable for
+        callers that require a fixed lane count (the sharded chunk plan).
         """
         order = self._order
         if max_length is not None:
             order = order[self.lengths[order] <= max_length]
-        for start in range(0, len(order), batch_size):
-            ids = order[start : start + batch_size]
+        cells_budget = batch_size * 1024
+        start = 0
+        while start < len(order):
+            B = batch_size
+            if adaptive_lanes:
+                end = min(start + B, len(order))
+                n_pad = self._bucket_length(
+                    int(self.lengths[order[end - 1]]),
+                    length_multiple,
+                    pow2_buckets,
+                )
+                if B * n_pad > cells_budget:
+                    B = max(8, cells_budget // n_pad)
+                    B = 1 << (B.bit_length() - 1)  # round down to pow2
+            ids = order[start : start + B]
+            start += B
             n = int(self.lengths[ids].max()) if len(ids) else 0
             n_pad = self._bucket_length(n, length_multiple, pow2_buckets)
-            codes = np.full((batch_size, n_pad), PAD_CODE, dtype=np.uint8)
-            lengths = np.zeros(batch_size, dtype=np.int32)
-            seq_ids = np.full(batch_size, -1, dtype=np.int32)
+            codes = np.full((B, n_pad), PAD_CODE, dtype=np.uint8)
+            lengths = np.zeros(B, dtype=np.int32)
+            seq_ids = np.full(B, -1, dtype=np.int32)
             for lane, sid in enumerate(ids):
                 seq = self.sequence(int(sid))
                 codes[lane, : len(seq)] = seq
@@ -240,9 +261,9 @@ class SequenceDB:
         if cached is None:
             cached = self._stack_cache = {}
         if key not in cached:
-            groups: dict[int, list[Chunk]] = {}
+            groups: dict[tuple, list[Chunk]] = {}
             for chunk in self.chunks(batch_size, length_multiple):
-                groups.setdefault(chunk.codes.shape[1], []).append(chunk)
+                groups.setdefault(chunk.codes.shape, []).append(chunk)
             cached[key] = [
                 (
                     np.stack(

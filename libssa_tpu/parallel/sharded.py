@@ -187,7 +187,10 @@ class ShardedSearchEngine:
         p = self.params
         B = max(8, p.batch_size // D)
         shards = [self.db.shard(i, D) for i in range(D)]
-        iters = [list(s.chunks(B, p.length_multiple)) for s in shards]
+        iters = [
+            list(s.chunks(B, p.length_multiple, adaptive_lanes=False))
+            for s in shards
+        ]
         steps = max(len(it) for it in iters)
         from ..io.db import PAD_CODE
 

@@ -160,3 +160,25 @@ class TestNativeParser:
         np.testing.assert_array_equal(
             db.sequence(0), alphabet.encode("MKVL", SymType.AMINOACID)
         )
+
+
+def test_adaptive_lane_chunks_long_outlier():
+    """A long outlier must not force full-width lanes at its length."""
+    import numpy as np
+
+    from libssa_tpu.constants import SymType
+    from libssa_tpu.io.db import SequenceDB
+
+    rng = np.random.default_rng(0)
+    seqs = [rng.integers(0, 20, 100).astype(np.uint8) for _ in range(2047)]
+    seqs.append(rng.integers(0, 20, 30_000).astype(np.uint8))  # outlier
+    db = SequenceDB.from_sequences([f"s{i}" for i in range(2048)], seqs, SymType.AMINOACID)
+    chunks = list(db.chunks(2048, 64))
+    # Every sequence present exactly once.
+    ids = np.concatenate([c.seq_ids[c.seq_ids >= 0] for c in chunks])
+    assert sorted(ids.tolist()) == list(range(2048))
+    # The outlier's chunk must have few lanes; total padded cells bounded.
+    outlier_chunk = next(c for c in chunks if 2047 in c.seq_ids.tolist())
+    assert outlier_chunk.codes.shape[0] <= 64
+    total_cells = sum(c.codes.shape[0] * c.codes.shape[1] for c in chunks)
+    assert total_cells < 2048 * 1024 * 3  # far below 2048 lanes x 32768
