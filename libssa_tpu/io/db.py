@@ -181,21 +181,41 @@ class SequenceDB:
 
     # -- batching ---------------------------------------------------------
 
-    @staticmethod
-    def _bucket_length(n: int, length_multiple: int, pow2_buckets: bool) -> int:
+    # Geometric ladder of 256-multiples (ratio ~1.2-1.33): the streamed
+    # kernel consumes subjects in 256-column blocks, so buckets must be
+    # 256-multiples above 256; the ladder bounds distinct compiled shapes
+    # to ~22 up to 65k columns while keeping mean padding waste ~12%
+    # (pow2 buckets waste ~50% on Swiss-Prot-like length distributions).
+    _LADDER = [
+        256 * k
+        for k in (
+            1, 2, 3, 4, 5, 6, 8, 10, 12, 16, 20, 24, 32, 40, 48, 64,
+            80, 96, 128, 160, 192, 256,
+        )
+    ]
+
+    @classmethod
+    def _bucket_length(
+        cls, n: int, length_multiple: int, pow2_buckets: bool
+    ) -> int:
         """Padded length for a batch whose longest subject has length n.
 
-        With ``pow2_buckets`` (default) lengths round up to a power of two
-        (with a ``length_multiple`` floor): kernel compilation is expensive
-        (minutes per shape through the TPU remote-compile tunnel), so
-        bounding the number of distinct shapes to ~log2(max_len) beats the
-        <=2x padding waste — which length-sorted batching keeps far smaller
-        in practice.
+        Kernel compilation is expensive (tens of seconds per shape through
+        the TPU remote-compile tunnel), so lengths snap to a bounded set of
+        buckets: powers of two below 256 (with a ``length_multiple``
+        floor), then the geometric ``_LADDER`` of 256-multiples. With
+        ``pow2_buckets=False`` lengths only round up to ``length_multiple``
+        (more shapes, less padding — for CPU/test runs).
         """
         n_pad = max(length_multiple, -(-n // length_multiple) * length_multiple)
-        if pow2_buckets:
-            n_pad = 1 << (n_pad - 1).bit_length()
-        return n_pad
+        if not pow2_buckets:
+            return n_pad
+        if n_pad <= 256:
+            return 1 << (n_pad - 1).bit_length()
+        for size in cls._LADDER:
+            if n_pad <= size:
+                return size
+        return -(-n_pad // 256) * 256
 
     def chunks(
         self,
