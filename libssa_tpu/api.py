@@ -395,6 +395,72 @@ class SSAContext:
             aligned=tb.aligned_strings(qc, sc, dec),
         )
 
+    def init_sequences_fasta(self, path_or_text: str) -> list[Query]:
+        """Read EVERY record of a query FASTA (multi-query sweeps)."""
+        out = []
+        for header, seq in fasta.iter_fasta(path_or_text):
+            q = self.init_sequence_fasta(seq, header=header)
+            q.header = header
+            out.append(q)
+        if not out:
+            raise ValueError("no FASTA records found")
+        return out
+
+    def align_many(
+        self,
+        queries: list[Query],
+        k: int = 10,
+        mode: ComputeMode = ComputeMode.SCORE,
+        align_type: AlignType = AlignType.SW,
+    ) -> list[AlignmentList]:
+        """Batched multi-query search: one device sweep for all queries.
+
+        Plain (untranslated, forward-strand) searches ride the engine's
+        single-dispatch multi-query sweep; anything needing per-query
+        strand/frame fan-out falls back to per-query ``_align`` calls.
+        """
+        engine = self._get_engine()
+        local = align_type is AlignType.SW
+        simple = self.db_symtype is self.matrix.symtype and all(
+            q.symtype is self.matrix.symtype and len(q.sequences) == 1
+            for q in queries
+        )
+        if not simple:
+            return [
+                self._align(q, k, BitWidth.EXACT, mode, align_type)
+                for q in queries
+            ]
+        stats = SearchStats()
+        hitlists = engine.search_many(
+            [q.sequences[0][1] for q in queries], k, local, stats
+        )
+        out = []
+        for q, (top_s, top_i) in zip(queries, hitlists):
+            hits = []
+            for score, sid in zip(top_s, top_i):
+                hit = Alignment(
+                    seq_id=int(sid),
+                    header=self.db.headers[int(sid)],
+                    score=int(score),
+                    align_type=align_type,
+                )
+                if mode is ComputeMode.ALIGNMENT:
+                    qc = q.sequences[0][1]
+                    sc = self.db.sequence(int(sid))
+                    tb = aligner.align_pair(
+                        qc, sc, self.matrix.scores,
+                        self.gap_open, self.gap_extend, local,
+                    )
+                    assert tb.score == hit.score
+                    hit.q_begin, hit.q_end = tb.q_begin, tb.q_end
+                    hit.s_begin, hit.s_end = tb.s_begin, tb.s_end
+                    hit.cigar = tb.cigar
+                    dec = lambda c: alphabet.decode(c, self.matrix.symtype)
+                    hit.aligned = tb.aligned_strings(qc, sc, dec)
+                hits.append(hit)
+            out.append(AlignmentList(hits=hits, stats=stats))
+        return out
+
     def sw_align(
         self,
         query: Query,
@@ -427,6 +493,8 @@ init_constant_scoring = _default.init_constant_scoring
 init_gap_penalties = _default.init_gap_penalties
 init_db_fasta = _default.init_db_fasta
 init_sequence_fasta = _default.init_sequence_fasta
+init_sequences_fasta = _default.init_sequences_fasta
+align_many = _default.align_many
 set_chunk_size = _default.set_chunk_size
 set_thread_count = _default.set_thread_count
 set_output_mode = _default.set_output_mode

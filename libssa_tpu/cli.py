@@ -73,40 +73,65 @@ def _print_hit(h, idx: int, show_alignment: bool):
         print(f"     S {h.s_begin:>6d} {s_row} {h.s_end}")
 
 
+def _hit_json(hits, header, cells, dt):
+    out = [
+        {
+            "rank": i + 1,
+            "seq_id": h.seq_id,
+            "header": h.header,
+            "score": h.score,
+            "strand": h.strand,
+            "db_frame": h.db_frame,
+            "cigar": h.cigar,
+            "q_range": [h.q_begin, h.q_end] if h.q_begin is not None else None,
+            "s_range": [h.s_begin, h.s_end] if h.s_begin is not None else None,
+        }
+        for i, h in enumerate(hits)
+    ]
+    return {"query": header, "hits": out, "cells": cells,
+            "seconds": round(dt, 4)}
+
+
 def cmd_search(args) -> int:
+    from .util.profiling import trace
+
     ctx = _configure(args)
     ctx.init_db_fasta(args.db)
     if args.chunk_size:
         ctx.set_chunk_size(args.chunk_size)
-    query = ctx.init_sequence_fasta(args.query)
     bw = {8: BitWidth.BIT8, 16: BitWidth.BIT16, 64: BitWidth.BIT64, 0: BitWidth.EXACT}[
         args.bit_width
     ]
     mode = ComputeMode.ALIGNMENT if args.align else ComputeMode.SCORE
-    fn = ctx.sw_align if args.algo == "sw" else ctx.nw_align
-    from .util.profiling import trace
 
+    if args.all_queries:
+        queries = ctx.init_sequences_fasta(args.query)
+        atype = AlignType.SW if args.algo == "sw" else AlignType.NW
+        t0 = time.perf_counter()
+        with trace(getattr(args, "xprof", None)):
+            lists = ctx.align_many(queries, k=args.k, mode=mode, align_type=atype)
+        dt = time.perf_counter() - t0
+        if args.json:
+            print(json.dumps([
+                _hit_json(hl, q.header, hl.stats.cells, dt)
+                for q, hl in zip(queries, lists)
+            ]))
+        else:
+            print(f"{len(queries)} queries, {dt:.2f}s total")
+            for q, hl in zip(queries, lists):
+                print(f"query: {q.header}  ({len(hl)} hits)")
+                for i, h in enumerate(hl):
+                    _print_hit(h, i + 1, args.align)
+        return 0
+
+    query = ctx.init_sequence_fasta(args.query)
+    fn = ctx.sw_align if args.algo == "sw" else ctx.nw_align
     t0 = time.perf_counter()
     with trace(getattr(args, "xprof", None)):
         hits = fn(query, k=args.k, bit_width=bw, mode=mode)
     dt = time.perf_counter() - t0
     if args.json:
-        out = [
-            {
-                "rank": i + 1,
-                "seq_id": h.seq_id,
-                "header": h.header,
-                "score": h.score,
-                "strand": h.strand,
-                "db_frame": h.db_frame,
-                "cigar": h.cigar,
-                "q_range": [h.q_begin, h.q_end] if h.q_begin is not None else None,
-                "s_range": [h.s_begin, h.s_end] if h.s_begin is not None else None,
-            }
-            for i, h in enumerate(hits)
-        ]
-        print(json.dumps({"query": query.header, "hits": out,
-                          "cells": hits.stats.cells, "seconds": round(dt, 4)}))
+        print(json.dumps(_hit_json(hits, query.header, hits.stats.cells, dt)))
     else:
         print(f"query: {query.header}  ({len(hits)} hits, "
               f"{hits.stats.cells/1e6:.1f} Mcells, {dt:.2f}s)")
@@ -157,6 +182,8 @@ def main(argv=None) -> int:
     ps.add_argument("--bit-width", type=int, choices=[0, 8, 16, 64], default=0,
                     help="precision-ladder start (0 = exact single pass)")
     ps.add_argument("--align", action="store_true", help="traceback alignments")
+    ps.add_argument("--all-queries", action="store_true",
+                    help="search every record of the query FASTA (batched)")
     ps.add_argument("--json", action="store_true")
     ps.add_argument("--chunk-size", type=int, default=None)
     ps.add_argument("--xprof", metavar="DIR", default=None,

@@ -226,3 +226,31 @@ class TestTranslatedSearch:
         q = c.init_sequence_fasta("MKVL")
         with pytest.raises(RuntimeError, match="matrix"):
             c.sw_align(q, 1)
+
+
+def test_align_many_matches_single(tmp_path):
+    """Batched multi-query API equals per-query searches."""
+    from pathlib import Path
+
+    from libssa_tpu.api import SSAContext
+    from libssa_tpu.io import fasta as _fasta
+
+    DATA = Path(__file__).parent / "testdata"
+    from libssa_tpu.constants import AlignType, BitWidth, ComputeMode, Strand, SymType
+
+    ctx = SSAContext()
+    ctx.init_symbol_translation(SymType.AMINOACID, Strand.FORWARD, 1, 1)
+    ctx.init_score_matrix("BLOSUM62")
+    ctx.init_gap_penalties(11, 1)
+    ctx.init_db_fasta(str(DATA / "proteins.fas"))
+    qf = tmp_path / "queries.fas"
+    rec0 = next(iter(_fasta.iter_fasta(str(DATA / "query_prot.fas"))))
+    qf.write_text(f">q1\n{rec0[1]}\n>q2\n{rec0[1][:40]}\n")
+    queries = ctx.init_sequences_fasta(str(qf))
+    assert [q.header for q in queries] == ["q1", "q2"]
+    lists = ctx.align_many(queries, k=4, mode=ComputeMode.ALIGNMENT)
+    for q, hl in zip(queries, lists):
+        single = ctx.sw_align(q, 4, BitWidth.EXACT, ComputeMode.ALIGNMENT)
+        assert [(h.seq_id, h.score, h.cigar) for h in hl] == [
+            (h.seq_id, h.score, h.cigar) for h in single
+        ]
