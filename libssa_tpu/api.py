@@ -296,14 +296,24 @@ class SSAContext:
         q_seqs = self._search_sequences(query)
         best_scores = None
         best_label = None
-        for label, codes in q_seqs:
-            scores = engine.score_all(codes, local, bit_width, stats)
-            if best_scores is None:
-                best_scores, best_label = scores, np.full(len(scores), label)
-            else:
-                better = scores > best_scores
-                best_scores = np.where(better, scores, best_scores)
-                best_label = np.where(better, label, best_label)
+        if len(q_seqs) > 1:
+            # Multi-frame/strand fan-out rides the batched multi-query
+            # sweep: ONE device dispatch for all frames instead of a full
+            # ladder sweep per frame (the exact pass — the 8/16-bit
+            # windows buy nothing here, see manager.score_all_many).
+            mat = engine.score_all_many([c for _, c in q_seqs], local, stats)
+            for (label, _), scores in zip(q_seqs, mat):
+                if best_scores is None:
+                    best_scores = scores.copy()
+                    best_label = np.full(len(scores), label)
+                else:
+                    better = scores > best_scores
+                    best_scores = np.where(better, scores, best_scores)
+                    best_label = np.where(better, label, best_label)
+        else:
+            label, codes = q_seqs[0]
+            best_scores = engine.score_all(codes, local, bit_width, stats)
+            best_label = np.full(len(best_scores), label)
 
         # Translated DB: reduce frame entries to their source record,
         # keeping the best-scoring frame (lowest entry id on ties).

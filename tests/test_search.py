@@ -146,3 +146,17 @@ class TestMultiQuery:
         eng = SearchEngine(db, B62, 10, 1)
         with pytest.raises(ValueError):
             eng.score_all_many([])
+
+
+def test_chunk_size_invariance(small_db):
+    """Identical hit lists at any chunk size (reference: thread-count
+    matrix — results must not depend on work partitioning)."""
+    db, seqs = small_db
+    rng = np.random.default_rng(42)
+    q = rng.integers(0, 20, 33).astype(np.uint8)
+    results = []
+    for bs in (8, 16, 64):
+        eng = SearchEngine(db, B62, 11, 1, SearchParams(batch_size=bs))
+        s, i = eng.search(q, 7)
+        results.append((s.tolist(), i.tolist()))
+    assert results[0] == results[1] == results[2]
