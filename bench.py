@@ -33,7 +33,7 @@ def main():
     # subjects, large batch. All lanes full-length (pad waste is a DB/batch
     # property, not a kernel property; the manager's length-sorting keeps
     # real sweeps close to this).
-    m, B, n = 256, 2048, 512
+    m, B, n = 256, 8192, 512
     q = rng.integers(0, 20, m).astype(np.uint8)
     profile = jnp.asarray(make_profile(q, padded), jnp.int32)
     # int8 subject codes, as the manager's chunk streaming sends them.

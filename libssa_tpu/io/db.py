@@ -239,22 +239,53 @@ class SequenceDB:
         order = self._order
         if max_length is not None:
             order = order[self.lengths[order] <= max_length]
+        MIN_LANES = min(1024, batch_size)
         cells_budget = batch_size * 1024
+        buckets = np.array(
+            [
+                self._bucket_length(int(L), length_multiple, pow2_buckets)
+                for L in self.lengths[order]
+            ],
+            dtype=np.int64,
+        )
+        N = len(order)
         start = 0
-        while start < len(order):
-            B = batch_size
-            if adaptive_lanes:
-                end = min(start + B, len(order))
-                n_pad = self._bucket_length(
-                    int(self.lengths[order[end - 1]]),
-                    length_multiple,
-                    pow2_buckets,
-                )
-                if B * n_pad > cells_budget:
-                    B = max(8, cells_budget // n_pad)
-                    B = 1 << (B.bit_length() - 1)  # round down to pow2
-            ids = order[start : start + B]
-            start += B
+        while start < N:
+            if not adaptive_lanes:
+                B = batch_size
+                lanes = min(B, N - start)
+            else:
+                # Grow the window whole; prefer cutting at bucket
+                # transitions (zero cross-bucket padding) once the chunk
+                # has enough lanes; cap by the lane*column cell budget so
+                # long sequences get narrow chunks.
+                end = start
+                cur_bucket = 0
+                while end < N and (end - start) < batch_size:
+                    nb = max(cur_bucket, int(buckets[end]))
+                    lanes = end - start + 1
+                    if lanes > 8 and nb * lanes > cells_budget:
+                        break
+                    if (
+                        cur_bucket
+                        and nb != cur_bucket
+                        and (end - start) >= MIN_LANES
+                    ):
+                        break
+                    cur_bucket = nb
+                    end += 1
+                lanes = end - start
+                if lanes >= MIN_LANES:
+                    # Round down to a power of two; the remainder merges
+                    # forward (keeps the compiled-shape set small).
+                    B = 1 << (lanes.bit_length() - 1)
+                    lanes = B
+                else:
+                    # Tail / budget-capped window: round lanes UP to a
+                    # power of two with padding lanes (bounded waste).
+                    B = max(8, 1 << (lanes - 1).bit_length())
+            ids = order[start : start + lanes]
+            start += lanes
             n = int(self.lengths[ids].max()) if len(ids) else 0
             n_pad = self._bucket_length(n, length_multiple, pow2_buckets)
             codes = np.full((B, n_pad), PAD_CODE, dtype=np.uint8)

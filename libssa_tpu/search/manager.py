@@ -42,7 +42,7 @@ F32_WINDOW = 2**24 - 1  # largest integer magnitude f32 tracks exactly
 class SearchParams:
     """Tunables mirroring the reference's set_* config calls."""
 
-    batch_size: int = 2048  # subjects per device batch (chunk size)
+    batch_size: int = 8192  # subjects per device batch (chunk size)
     length_multiple: int = 64  # pad batch lengths to this multiple
     use_matmul: bool = True  # MXU one-hot profile gather vs jnp.take
     dtype: str = "float32"  # DP arithmetic: "float32" (fast) | "int32"
