@@ -139,13 +139,32 @@ def config2():
 
 
 def config3(n_seqs=10_000):
-    """Adaptive 8->16/64 precision ladder on a 10k-sequence DB."""
-    from libssa_tpu.constants import BitWidth
+    """Adaptive 8->16/64 precision ladder on a 10k-sequence DB.
+
+    A slice of near-identical subjects (query copies with mutations) makes
+    scores exceed the 8-bit window so the rescore rungs genuinely run —
+    random-vs-random scores never overflow 255.
+    """
+    from libssa_tpu.constants import BitWidth, SymType
+    from libssa_tpu.io.db import SequenceDB
     from libssa_tpu.search.manager import SearchStats
 
-    db = synth_db(n_seqs, 4)
-    eng = _engine(db)
     q = synth_query(256, 5)
+    rng = np.random.default_rng(44)
+    base = synth_db(n_seqs - 50, 4)
+    homologs = []
+    for i in range(50):
+        h = np.tile(q, 3)[: 600 + i]  # high-identity, > 255 score
+        mut = rng.random(len(h)) < 0.05
+        h = np.where(mut, rng.integers(0, 20, len(h)), h).astype(np.uint8)
+        homologs.append(h)
+    db = SequenceDB.from_sequences(
+        [f"synth{i}" for i in range(n_seqs - 50)]
+        + [f"homolog{i}" for i in range(50)],
+        [base.sequence(i) for i in range(len(base))] + homologs,
+        SymType.AMINOACID,
+    )
+    eng = _engine(db)
     eng.search(q, 10, local=True, bit_width=BitWidth.BIT8)  # warm/compile
     stats = SearchStats()
     eng.search(q, 10, local=True, bit_width=BitWidth.BIT8, stats=stats)

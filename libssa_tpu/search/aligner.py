@@ -66,6 +66,11 @@ def fill_matrices(q, s, sub, Q: int, R: int, local: bool):
     return H, E, F
 
 
+# Above this many DP cells the full-matrix fill (3 int64 matrices) would
+# hold gigabytes; the linear-space Myers-Miller path takes over.
+MATRIX_CELL_LIMIT = 16_000_000
+
+
 def align_pair(
     q: np.ndarray,
     s: np.ndarray,
@@ -75,11 +80,22 @@ def align_pair(
     local: bool = True,
     first_residue_opens: bool = True,
 ) -> Traceback:
-    """One optimal alignment of a pair (fast matrix fill + oracle traceback)."""
-    Q, R = gap_qr(gap_open, gap_extend, first_residue_opens)
+    """One optimal alignment of a pair.
+
+    Small pairs: full-matrix fill + traceback. Long pairs (> 16M cells):
+    O(m+n)-memory Myers-Miller divide and conquer (search/hirschberg.py)
+    — same optimal scores, locked against each other in tests.
+    """
     q = np.asarray(q)
     s = np.asarray(s)
     m, n = len(q), len(s)
+    if m * n > MATRIX_CELL_LIMIT:
+        from .hirschberg import align_pair_linear
+
+        return align_pair_linear(
+            q, s, sub, gap_open, gap_extend, local, first_residue_opens
+        )
+    Q, R = gap_qr(gap_open, gap_extend, first_residue_opens)
     if m == 0 or n == 0:
         if local:
             return Traceback(0, 0, 0, 0, 0, "")
