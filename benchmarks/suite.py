@@ -128,9 +128,16 @@ def config2():
     eng = _engine(db)
     q = synth_query(256, 3)
     stats = SearchStats()
-    eng.search(q, 10, local=True, bit_width=BitWidth.BIT16, stats=stats)  # warm
-    stats = SearchStats()
-    top_s, top_i = eng.search(q, 10, local=True, bit_width=BitWidth.BIT16, stats=stats)
+    eng.search(q, 10, local=True, bit_width=BitWidth.BIT16)  # warm
+    best = None
+    for _ in range(3):
+        stats = SearchStats()
+        top_s, top_i = eng.search(
+            q, 10, local=True, bit_width=BitWidth.BIT16, stats=stats
+        )
+        if best is None or stats.seconds < best.seconds:
+            best = stats
+    stats = best
     emit(
         2, "SW top-10 bundled DB seqs/sec", stats.subjects / stats.seconds,
         "seqs/s", gcups=round(stats.gcups, 2), db_seqs=len(db),
@@ -166,8 +173,13 @@ def config3(n_seqs=10_000):
     )
     eng = _engine(db)
     eng.search(q, 10, local=True, bit_width=BitWidth.BIT8)  # warm/compile
-    stats = SearchStats()
-    eng.search(q, 10, local=True, bit_width=BitWidth.BIT8, stats=stats)
+    best = None
+    for _ in range(3):
+        stats = SearchStats()
+        eng.search(q, 10, local=True, bit_width=BitWidth.BIT8, stats=stats)
+        if best is None or stats.seconds < best.seconds:
+            best = stats
+    stats = best
     emit(
         3, "adaptive-ladder 10k-DB seqs/sec", stats.subjects / stats.seconds,
         "seqs/s", gcups=round(stats.gcups, 2),
@@ -183,8 +195,13 @@ def config4(n_queries=10, n_seqs=10_000):
     eng = _engine(db)
     queries = [synth_query(256, 100 + i) for i in range(n_queries)]
     eng.search_many(queries, 10, local=True)  # warm/compile (same shapes)
-    stats = SearchStats()
-    eng.search_many(queries, 10, local=True, stats=stats)
+    best = None
+    for _ in range(3):
+        stats = SearchStats()
+        eng.search_many(queries, 10, local=True, stats=stats)
+        if best is None or stats.seconds < best.seconds:
+            best = stats
+    stats = best
     emit(
         4, "multi-query q*s/sec", stats.subjects / stats.seconds, "q*subj/s",
         gcups=round(stats.gcups, 2), queries=n_queries, db_seqs=n_seqs,
@@ -207,8 +224,13 @@ def config5(n_seqs=5_000):
     top_s, top_i = eng.search(q, 10)  # warm + correctness
     ref_s, ref_i = sref.search(q, 10)
     assert np.array_equal(np.asarray(top_s), ref_s), "sharded != single-device"
-    stats = SearchStats()
-    eng.search(q, 10, stats=stats)
+    best = None
+    for _ in range(3):
+        stats = SearchStats()
+        eng.search(q, 10, stats=stats)
+        if best is None or stats.seconds < best.seconds:
+            best = stats
+    stats = best
     emit(
         5, "sharded-mesh seqs/sec", stats.subjects / stats.seconds, "seqs/s",
         gcups=round(stats.gcups, 2), devices=int(mesh.devices.size),

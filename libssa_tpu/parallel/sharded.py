@@ -134,6 +134,86 @@ def sharded_search_step(
     )(profile, subjects, lengths, seq_ids)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "gap_q",
+        "gap_r",
+        "mesh",
+        "k",
+        "local",
+        "use_matmul",
+        "track_range",
+        "dtype",
+        "m_real",
+        "kernel_impl",
+    ),
+)
+def sharded_search_sweep(
+    profile: jax.Array,  # (m, 32) replicated
+    subjects: jax.Array,  # (g, D*B, n_pad) sharded over 'd' on axis 1
+    lengths: jax.Array,  # (g, D*B)
+    seq_ids: jax.Array,  # (g, D*B)
+    gap_q: int,
+    gap_r: int,
+    *,
+    mesh: Mesh,
+    k: int,
+    local: bool = True,
+    use_matmul: bool = True,
+    track_range: bool = False,
+    dtype=jnp.float32,
+    m_real: int | None = None,
+    kernel_impl: str = "scan",
+):
+    """A whole stack of same-shape plan steps in ONE dispatch.
+
+    ``lax.map`` over the step axis inside the shard_map — the per-step
+    collectives run once per map trip. One execute for the sweep (each
+    device round trip costs ~40-60 ms through the tunnel; see
+    search.kernels.stage_sweep).
+    """
+
+    def device_fn(prof, subs, lens, ids):
+        def one(x):
+            sub_t, len_t, id_t = x
+            if kernel_impl == "pallas":
+                from ..ops.interseq_pallas import interseq_scores_pallas
+
+                scores, hi, lo = interseq_scores_pallas(
+                    prof, sub_t.T, len_t, gap_q, gap_r,
+                    local=local, track_range=track_range, m_real=m_real,
+                )
+            else:
+                scores, hi, lo = interseq.interseq_scores(
+                    prof, sub_t.T, len_t,
+                    jnp.int32(gap_q), jnp.int32(gap_r),
+                    local=local, use_matmul=use_matmul,
+                    track_range=track_range, dtype=dtype, m_real=m_real,
+                )
+            valid = id_t >= 0
+            s_masked = jnp.where(valid, scores, NEG_SCORE)
+            i_masked = jnp.where(valid, id_t, INVALID_ID)
+            neg_s, ids_sorted = jax.lax.sort(
+                (-s_masked, i_masked), num_keys=2
+            )
+            local_top_s, local_top_i = -neg_s[:k], ids_sorted[:k]
+            all_s = jax.lax.all_gather(local_top_s, "d")
+            all_i = jax.lax.all_gather(local_top_i, "d")
+            top_s, top_i = _merged_topk(all_s, all_i, k)
+            return top_s, top_i, scores, hi, lo
+
+        return jax.lax.map(one, (subs, lens, ids))
+
+    return jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(P(), P(None, "d"), P(None, "d"), P(None, "d")),
+        out_specs=(P(), P(), P(None, "d"), P(None, "d"), P(None, "d")),
+        check_vma=False,
+    )(profile, subjects, lengths, seq_ids)
+
+
 class ShardedSearchEngine:
     """Database search over every device of a mesh.
 
@@ -185,7 +265,12 @@ class ShardedSearchEngine:
             return self._plan
         D = self.n_devices
         p = self.params
-        B = max(8, p.batch_size // D)
+        # Cap per-device lanes: plan steps share one padded length (max
+        # over shards), so giant steps would pad everything to the global
+        # longest bucket. Length-sorted 1024-lane steps keep padding near
+        # the single-device engine's, and step groups sweep in one
+        # dispatch anyway.
+        B = max(8, min(p.batch_size // D, 1024))
         shards = [self.db.shard(i, D) for i in range(D)]
         iters = [
             list(s.chunks(B, p.length_multiple, adaptive_lanes=False))
@@ -251,16 +336,49 @@ class ShardedSearchEngine:
         all_s: list[np.ndarray] = []
         all_i: list[np.ndarray] = []
         flagged: list[np.ndarray] = []
-        pending = []  # (ids, top_s, top_i, flags) device arrays; fetch once
-        for step_idx, (codes, lengths, ids) in enumerate(self._chunk_plan()):
+
+        def _requeue(ids):
+            # Chunk re-queue on the fallback engine (SURVEY.md §5 failure
+            # detection: shards are independently restartable).
+            self.requeued_chunks += 1
+            valid = ids >= 0
+            sub = self.db.subset(ids[valid].astype(np.int32))
+            r = self._fallback.__class__(
+                sub, self.matrix, self.gap_open, self.gap_extend, self.params
+            ).score_all(q_codes, local, BitWidth.EXACT, stats)
+            all_s.append(r.astype(np.int64))
+            all_i.append(ids[valid].astype(np.int32))
+
+        # Per-step fault gate first, then batch the healthy steps by shape
+        # and run each group as ONE SPMD dispatch (per-step dispatches cost
+        # ~60 ms each through the tunnel).
+        healthy: dict[int, list] = {}
+        for step_idx, step in enumerate(self._chunk_plan()):
             try:
                 if self.fault_injector is not None:
                     self.fault_injector(step_idx)
-                top_s, top_i, scores, hi, lo = sharded_search_step(
+                healthy.setdefault(step[0].shape[1], []).append(step)
+            except Exception:
+                _requeue(step[2])
+
+        pending = []  # (ids (g, D*B), top_s, top_i, flags) device arrays
+        for steps in healthy.values():
+            codes = np.stack([c for c, _, _ in steps])
+            lens = np.stack([l for _, l, _ in steps])
+            ids = np.stack([i for _, _, i in steps])
+            try:
+                top_s, top_i, scores, hi, lo = sharded_search_sweep(
                     profile,
-                    jax.device_put(jnp.asarray(codes, jnp.int8), dspec),
-                    jax.device_put(jnp.asarray(lengths), dspec),
-                    jax.device_put(jnp.asarray(ids), dspec),
+                    jax.device_put(
+                        jnp.asarray(codes, jnp.int8),
+                        NamedSharding(self.mesh, P(None, "d")),
+                    ),
+                    jax.device_put(
+                        jnp.asarray(lens), NamedSharding(self.mesh, P(None, "d"))
+                    ),
+                    jax.device_put(
+                        jnp.asarray(ids), NamedSharding(self.mesh, P(None, "d"))
+                    ),
                     int(self.gap_q),
                     int(self.gap_r),
                     mesh=self.mesh,
@@ -279,16 +397,8 @@ class ShardedSearchEngine:
                 )
                 pending.append((ids, top_s, top_i, flags))
             except Exception:
-                # Chunk re-queue on the fallback engine (SURVEY.md §5
-                # failure detection: shards are independently restartable).
-                self.requeued_chunks += 1
-                valid = ids >= 0
-                sub = self.db.subset(ids[valid].astype(np.int32))
-                r = self._fallback.__class__(
-                    sub, self.matrix, self.gap_open, self.gap_extend, self.params
-                ).score_all(q_codes, local, BitWidth.EXACT, stats)
-                all_s.append(r.astype(np.int64))
-                all_i.append(ids[valid].astype(np.int32))
+                for _, _, step_ids in steps:
+                    _requeue(step_ids)
         if pending:
             # TWO device->host fences for the whole sweep — replicated
             # top-k lists and sharded flags can't share one concatenate
@@ -297,25 +407,29 @@ class ShardedSearchEngine:
             tops = np.asarray(
                 jnp.concatenate(
                     [
-                        jnp.concatenate([s.astype(jnp.int32), i])
+                        jnp.concatenate([s.astype(jnp.int32), i], axis=1)
                         for _, s, i, _ in pending
-                    ]
+                    ],
+                    axis=0,
                 )
-            )
+            )  # (sum_g, 2k): scores then ids per row
             off = 0
             for ids, _, _, _ in pending:
-                all_s.append(tops[off : off + k].astype(np.int64))
-                all_i.append(tops[off + k : off + 2 * k].astype(np.int32))
-                off += 2 * k
+                g = ids.shape[0]
+                all_s.append(tops[off : off + g, :k].reshape(-1).astype(np.int64))
+                all_i.append(tops[off : off + g, k:].reshape(-1).astype(np.int32))
+                off += g
             if track:
+                # All plan steps share the (D*B,) lane shape: axis-0 concat.
                 fl = np.asarray(
-                    jnp.concatenate([f for _, _, _, f in pending])
+                    jnp.concatenate([f for _, _, _, f in pending], axis=0)
                 )
                 off = 0
                 for ids, _, _, _ in pending:
-                    flags = fl[off : off + len(ids)].astype(bool)
+                    g = ids.shape[0]
+                    flags = fl[off : off + g].astype(bool)
                     flagged.append(ids[(ids >= 0) & flags])
-                    off += len(ids)
+                    off += g
         stats.cells += len(q_codes) * self.db.total_residues
         stats.subjects += len(self.db)
 
