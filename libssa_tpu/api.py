@@ -489,6 +489,10 @@ class SSAContext:
     ) -> AlignmentList:
         return self._align(query, k, bit_width, mode, AlignType.NW)
 
+    def free_alignment(self, alignment_list: AlignmentList) -> None:
+        """Reference parity no-op: results are garbage-collected Python
+        objects (the reference's free_alignment releases malloc'd lists)."""
+
     def ssa_exit(self):
         self.reset()
 
@@ -511,4 +515,5 @@ set_output_mode = _default.set_output_mode
 sw_align = _default.sw_align
 nw_align = _default.nw_align
 align_pair = _default.align_pair
+free_alignment = _default.free_alignment
 ssa_exit = _default.ssa_exit
