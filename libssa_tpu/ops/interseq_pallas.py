@@ -87,7 +87,10 @@ def _kernel(
         masks.append(jnp.where(rid >= d, -d * Rf, NEG_F32).astype(jnp.float32))
         d *= 2
     fmask = jnp.where(rid >= 1, -Qf, NEG_F32).astype(jnp.float32)
-    row0c = jax.lax.broadcasted_iota(jnp.int32, (CH, B), 0) == 0
+    # Carry decay column: the chunk-boundary F enters row j as carry - j*R
+    # (row 0 = the carry itself), so it joins F as one broadcast add + max
+    # instead of riding the scan via a seeded select.
+    fdecay = (-rid.astype(jnp.float32) * Rf).astype(jnp.float32)
     row0f = jax.lax.broadcasted_iota(jnp.int32, (m, B), 0) == 0
 
     jblk = pl.program_id(1)  # n-block index: subjects stream over grid dim 1
@@ -130,10 +133,13 @@ def _kernel(
 
     lengths = lengths_ref[:].astype(jnp.int32)  # (1, B)
 
-    def outer(tl, _):
+    def outer(t2, _):
         # int32 rows load directly at any offset ((8,128) tiling); the
-        # global column index offsets by this n-block's position.
+        # global column index offsets by this n-block's position. Two
+        # columns per trip amortize loop/index overhead.
+        tl = t2 * 2
         step(jblk * n_blk + tl, subjects_ref[pl.ds(tl, 1), :])
+        step(jblk * n_blk + tl + 1, subjects_ref[pl.ds(tl + 1, 1), :])
         return 0
 
     def step(t, s_t):
@@ -164,20 +170,20 @@ def _kernel(
             Hnof = jnp.maximum(Hd[sl, :] + S[sl, :], E_new)
             if local:
                 Hnof = jnp.maximum(Hnof, 0.0)
-            # Seed the chunk-boundary carry into the confined scan:
-            #   D[j] = max_{j'<=j}(X[j'] - (j-j')R),  F[j] = D[j-1] - Q,
-            #   F[0] = carry;  X[0] = max(Hnof[0], carry + Q - R) makes the
-            #   carry decay correctly through the chunk and into the next.
-            X = jnp.where(row0c, jnp.maximum(Hnof, carry + (Qf - Rf)), Hnof)
-            D = X
+            # Confined scan over Hnof alone:
+            #   D[j] = max_{j'<=j}(Hnof[j'] - (j-j')R),  F[j] = D[j-1] - Q
+            # plus the boundary carry as a separate decayed candidate:
+            #   F[j] = max(F[j], carry - j*R)   (row 0 = carry exactly).
+            D = Hnof
             for i, mk in enumerate(masks):
                 D = jnp.maximum(D, pltpu.roll(D, shift=1 << i, axis=0) + mk)
-            F = pltpu.roll(D, shift=1, axis=0) + fmask
-            F = jnp.where(row0c, carry, F)
+            F = jnp.maximum(
+                pltpu.roll(D, shift=1, axis=0) + fmask, carry + fdecay
+            )
             H_new = jnp.maximum(Hnof, F)
             H_ref[sl, :] = H_new
             E_ref[sl, :] = E_new
-            carry = D[CH - 1 : CH, :] - Qf
+            carry = jnp.maximum(D[CH - 1 : CH, :] - Qf, carry - CH * Rf)
             if local:
                 A_ref[sl, :] = jnp.maximum(A_ref[sl, :], H_new)
             else:
@@ -202,7 +208,7 @@ def _kernel(
                         L_ref[sl, :], jnp.where(valid, Hm, -NEG_F32)
                     )
 
-    jax.lax.fori_loop(0, n_blk, outer, 0)
+    jax.lax.fori_loop(0, n_blk // 2, outer, 0)
 
     @pl.when(jblk == n_blocks - 1)
     def _finalize():
@@ -231,7 +237,7 @@ def _build(
     use_L = (not local) and track_range
     n_arrays = 2 + 2  # H, E + S/Hd values in flight
     n_arrays += (1 if use_A else 0) + (1 if use_L else 0)
-    n_blk = min(n_pad, 256)
+    n_blk = min(n_pad + n_pad % 2, 256)  # even: columns step in pairs
     n_pad = -(-n_pad // n_blk) * n_blk
     n_blocks = n_pad // n_blk
     per_lane = n_arrays * m * 4 + 2 * n_blk * 4
