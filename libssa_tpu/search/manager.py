@@ -165,18 +165,6 @@ class SearchEngine:
         )
         return scores, np.sort(over_ids)
 
-    def _kernel_fn(self, dtype_str: str):
-        """Pick the kernel for a ladder rung (see search.kernels)."""
-        from . import kernels
-
-        if dtype_str == "int32":
-            # Terminal exact rung: the Pallas kernel is f32-only; the scan
-            # kernel computes true int32. Rescore sets are tiny, so speed
-            # is irrelevant here.
-            return interseq.interseq_scores
-        force = None if self.params.kernel == "auto" else self.params.kernel
-        return kernels.best_kernel(force)
-
     def score_all(
         self,
         q_codes: np.ndarray,
