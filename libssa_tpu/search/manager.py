@@ -102,6 +102,30 @@ class SearchEngine:
         self.gap_extend = gap_extend
         self.gap_q, self.gap_r = gap_qr(gap_open, gap_extend)
         self.params = params or SearchParams()
+        self._device_stacks: dict = {}
+
+    def _stacks_on_device(self, db, bs: int):
+        """Device-resident grouped chunk stacks, uploaded ONCE per engine.
+
+        At Swiss-Prot scale the packed subjects are hundreds of MB; through
+        the serving tunnel a per-search upload costs tens of seconds
+        (measured 26 s for a 500k-seq DB), while HBM holds them trivially.
+        Subset databases (ladder rescores) are tiny and not cached.
+        """
+        p = self.params
+        grouped = db.grouped_stacks(bs, p.length_multiple)
+        if db is not self.db:
+            return grouped, tuple(
+                (jnp.asarray(c, jnp.int8), jnp.asarray(l, jnp.int32))
+                for c, l, _ in grouped
+            )
+        key = (bs, p.length_multiple)
+        if key not in self._device_stacks:
+            self._device_stacks[key] = tuple(
+                (jnp.asarray(c, jnp.int8), jnp.asarray(l, jnp.int32))
+                for c, l, _ in grouped
+            )
+        return grouped, self._device_stacks[key]
 
     # -- scoring ----------------------------------------------------------
 
@@ -133,7 +157,7 @@ class SearchEngine:
         # on-device. Through the axon tunnel each round trip costs
         # ~40-60 ms flat, so per-chunk calls would dominate the sweep
         # (measured: 40x on a 10k-seq DB).
-        grouped = db.grouped_stacks(bs, p.length_multiple)
+        grouped, stacks = self._stacks_on_device(db, bs)
         # SW ignores m_real (pad rows clamp to 0): drop it from the stage
         # key so all query lengths share one compiled stage per shape.
         sweep, _ = kernels.stage_sweep(
@@ -141,7 +165,6 @@ class SearchEngine:
             int(self.gap_q), int(self.gap_r), local, p.use_matmul,
             dtype_str, None if local else m_real, eff_limit,
         )
-        stacks = tuple((codes, lens) for codes, lens, _ in grouped)
         s_flat, f_flat = sweep(profile_j, stacks)
         s_all = np.asarray(s_flat)
         f_all = np.asarray(f_flat) if track else None
@@ -264,7 +287,7 @@ class SearchEngine:
         qgroups: dict[int, list[int]] = {}
         for qi, (prof_j, _) in enumerate(profs):
             qgroups.setdefault(prof_j.shape[0], []).append(qi)
-        grouped = self.db.grouped_stacks(p.batch_size, p.length_multiple)
+        grouped, dev_stacks = self._stacks_on_device(self.db, p.batch_size)
 
         eff_limit = F32_WINDOW if track else None
         results = []  # (row_map: [(qi, seq_ids)], s_all, f_all)
@@ -280,7 +303,9 @@ class SearchEngine:
                 stacks = []
                 row_map = []
                 nq = len(qids)
-                for codes, lens, seq_id_list in grouped:
+                for (codes, lens), (_, _, seq_id_list) in zip(
+                    dev_stacks, grouped
+                ):
                     nc = len(seq_id_list)
                     iq = np.repeat(np.arange(nq, dtype=np.int32), nc)
                     ic = np.tile(np.arange(nc, dtype=np.int32), nq)
@@ -306,7 +331,9 @@ class SearchEngine:
                     )
                     stacks = []
                     row_map = []
-                    for codes, lens, seq_id_list in grouped:
+                    for (codes, lens), (_, _, seq_id_list) in zip(
+                        dev_stacks, grouped
+                    ):
                         stacks.append((codes, lens))
                         row_map.extend((qi, sids) for sids in seq_id_list)
                     s_flat, f_flat = sweep(profs[qi][0], tuple(stacks))
