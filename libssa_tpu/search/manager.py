@@ -127,6 +127,19 @@ class SearchEngine:
             )
         return grouped, self._device_stacks[key]
 
+    def prepare(self, query_length: int = 256, local: bool = True) -> None:
+        """Serving warm-up: pack, upload, and compile ahead of queries.
+
+        A cold engine pays one-time costs on the first search (host
+        packing, the device upload of the whole DB, and kernel compiles —
+        ~100 s for a 500k-sequence DB through the serving tunnel). Calling
+        ``prepare()`` at deployment time moves all of it out of the first
+        request; any query length sharing the padded profile height (the
+        next multiple of 32) reuses the same compilations.
+        """
+        q = np.zeros(max(1, query_length), dtype=np.uint8)
+        self.score_all(q, local=local, bit_width=BitWidth.BIT8)
+
     # -- scoring ----------------------------------------------------------
 
     def _stage_scores(self, db: SequenceDB, profile, m_real, local, limit, dtype_str):
