@@ -94,13 +94,40 @@ def reverse_complement(codes: np.ndarray) -> np.ndarray:
 # NCBI translation tables, given as the 64-codon amino-acid string in TTT,
 # TTC, TTA, TTG, CTT, ... order (base order T, C, A, G — the NCBI standard).
 
+_T1 = "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG"
+
+
+def _variant(diffs: dict[str, str]) -> str:
+    """Table 1 with codon -> amino-acid substitutions (codon in TCAG order)."""
+    t = list(_T1)
+    for codon, aa in diffs.items():
+        i = _TCAG.index(codon[0]) * 16 + _TCAG.index(codon[1]) * 4 + _TCAG.index(codon[2])
+        t[i] = aa
+    return "".join(t)
+
+
+_TCAG = "TCAG"
+# The established NCBI translation tables, each expressed as its diffs
+# from the standard code (safer than transcribing 64-char strings).
 _NCBI_TABLES = {
-    1: "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",  # standard
-    2: "FFLLSSSSYY**CCWWLLLLPPPPHHQQRRRRIIMMTTTTNNKKSS**VVVVAAAADDEEGGGG",  # vertebrate mito
-    3: "FFLLSSSSYY**CCWWTTTTPPPPHHQQRRRRIIMMTTTTNNKKSSRRVVVVAAAADDEEGGGG",  # yeast mito
-    4: "FFLLSSSSYY**CCWWLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",  # mold/protozoan mito
-    5: "FFLLSSSSYY**CCWWLLLLPPPPHHQQRRRRIIMMTTTTNNKKSSSSVVVVAAAADDEEGGGG",  # invertebrate mito
-    11: "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG",  # bacterial
+    1: _T1,  # standard
+    2: _variant({"AGA": "*", "AGG": "*", "ATA": "M", "TGA": "W"}),  # vertebrate mito
+    3: _variant({"ATA": "M", "CTT": "T", "CTC": "T", "CTA": "T", "CTG": "T", "TGA": "W"}),  # yeast mito
+    4: _variant({"TGA": "W"}),  # mold/protozoan/coelenterate mito
+    5: _variant({"AGA": "S", "AGG": "S", "ATA": "M", "TGA": "W"}),  # invertebrate mito
+    6: _variant({"TAA": "Q", "TAG": "Q"}),  # ciliate/dasycladacean
+    9: _variant({"AAA": "N", "AGA": "S", "AGG": "S", "TGA": "W"}),  # echinoderm/flatworm mito
+    10: _variant({"TGA": "C"}),  # euplotid
+    11: _T1,  # bacterial/archaeal/plastid
+    12: _variant({"CTG": "S"}),  # alternative yeast
+    13: _variant({"AGA": "G", "AGG": "G", "ATA": "M", "TGA": "W"}),  # ascidian mito
+    14: _variant({"AAA": "N", "AGA": "S", "AGG": "S", "TAA": "Y", "TGA": "W"}),  # alt flatworm mito
+    16: _variant({"TAG": "L"}),  # chlorophycean mito
+    21: _variant({"AAA": "N", "AGA": "S", "AGG": "S", "ATA": "M", "TGA": "W"}),  # trematode mito
+    22: _variant({"TCA": "*", "TAG": "L"}),  # Scenedesmus mito
+    23: _variant({"TTA": "*"}),  # Thraustochytrium mito
+    24: _variant({"AGA": "S", "AGG": "K", "TGA": "W"}),  # Pterobranchia mito
+    25: _variant({"TGA": "G"}),  # SR1/Gracilibacteria
 }
 
 _TCAG = "TCAG"

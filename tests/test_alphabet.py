@@ -1,5 +1,6 @@
 """Symbol-translation tests (reference: util_sequence suite)."""
 import numpy as np
+import pytest
 
 from libssa_tpu import alphabet
 from libssa_tpu.constants import SymType
@@ -58,3 +59,27 @@ def test_six_frames():
     assert alphabet.decode(frames[0], SymType.AMINOACID) == "MA*"
     # frame lengths shrink by one codon as the offset eats bases
     assert [len(f) for f in frames[:3]] == [3, 3, 2]
+
+
+def test_extended_genetic_codes():
+    """Distinctive codons of the extended NCBI tables + legacy identity."""
+    from libssa_tpu.alphabet import _NCBI_TABLES
+
+    # Previously shipped literal tables must reproduce from the diffs.
+    assert _NCBI_TABLES[2] == "FFLLSSSSYY**CCWWLLLLPPPPHHQQRRRRIIMMTTTTNNKKSS**VVVVAAAADDEEGGGG"
+    assert _NCBI_TABLES[5] == "FFLLSSSSYY**CCWWLLLLPPPPHHQQRRRRIIMMTTTTNNKKSSSSVVVVAAAADDEEGGGG"
+
+    def tr(codon, gc):
+        codes = alphabet.encode(codon, SymType.NUCLEOTIDE)
+        return alphabet.decode(alphabet.translate(codes, gc), SymType.AMINOACID)
+
+    for codon, gc, want in [
+        ("TAA", 6, "Q"), ("TGA", 10, "C"), ("CTG", 12, "S"),
+        ("AGA", 13, "G"), ("TAA", 14, "Y"), ("TAG", 16, "L"),
+        ("AGG", 24, "K"), ("TGA", 25, "G"), ("AAA", 9, "N"),
+        ("TCA", 22, "*"), ("TTA", 23, "*"), ("ATA", 21, "M"),
+    ]:
+        assert tr(codon, gc) == want, (codon, gc)
+
+    with pytest.raises(ValueError):
+        alphabet.genetic_code_table(7)  # never assigned by NCBI
