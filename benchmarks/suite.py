@@ -11,8 +11,9 @@ sequences/sec and aggregate GCUPS through the full search stack
   3  Adaptive 8->16/64 ladder on a 10k-sequence DB       (BIT8)
   4  Batched multi-query search                          (EXACT)
   5  Sharded mesh search + collective top-k merge        (all devices)
+  6  Swiss-Prot-scale 500k-seq DB, device-resident       (opt-in)
 
-Usage: python benchmarks/suite.py [--configs 1,2,3,4,5] [--full] [--cpu]
+Usage: python benchmarks/suite.py [--configs 1,2,3,4,5[,6]] [--full] [--cpu]
 
 --full runs config 4 at the BASELINE-spec 100 queries x 100k subjects
 (minutes of pure DP); the default is a 10 x 10k slice of the same shape.

@@ -160,3 +160,20 @@ def test_chunk_size_invariance(small_db):
         s, i = eng.search(q, 7)
         results.append((s.tolist(), i.tolist()))
     assert results[0] == results[1] == results[2]
+
+
+def test_device_stack_cache_across_queries(small_db):
+    """One engine, several queries: cached device stacks must not leak
+    state between searches (and prepare() must not change results)."""
+    db, seqs = small_db
+    eng = SearchEngine(db, B62, 11, 1, SearchParams(batch_size=16))
+    eng.prepare(query_length=20)
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        q = rng.integers(0, 20, 20 + trial).astype(np.uint8)
+        s, i = eng.search(q, 5)
+        want = np.array(
+            [oracle.sw_score(q, subj, B62.scores, 11, 1) for subj in seqs]
+        )
+        order = np.lexsort((np.arange(len(want)), -want))[:5]
+        np.testing.assert_array_equal(s, want[order])
