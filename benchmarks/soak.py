@@ -1,0 +1,140 @@
+"""Randomized differential soak: every search path vs the int64 oracle.
+
+Beyond the fixed pytest suite: each trial randomizes the database (sizes,
+length ranges, alphabets), matrix (builtin / constant), gap model, query
+lengths, ladder entry width, engine (single-device / sharded mesh), and
+mode (SW/NW, single/multi-query) — then asserts scores (and, on a sample,
+traceback path scores) against the scalar oracle.
+
+Usage: python benchmarks/soak.py [--trials 50] [--seed 0] [--cpu]
+Prints one line per 10 trials and a final JSON summary.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run_soak(trials: int, seed: int) -> dict:
+    from libssa_tpu import matrices, oracle
+    from libssa_tpu.constants import BitWidth, SymType
+    from libssa_tpu.io.db import SequenceDB
+    from libssa_tpu.parallel.sharded import ShardedSearchEngine, make_db_mesh
+    from libssa_tpu.search.aligner import align_pair
+    from libssa_tpu.search.manager import SearchEngine, SearchParams
+
+    rng = np.random.default_rng(seed)
+    builtins = ["BLOSUM45", "BLOSUM62", "BLOSUM80", "PAM70", "PAM250"]
+    widths = [BitWidth.BIT8, BitWidth.BIT16, BitWidth.BIT64, BitWidth.EXACT]
+    mesh = make_db_mesh()
+    checked = {"scores": 0, "tracebacks": 0, "sharded": 0, "multi": 0}
+
+    t0 = time.perf_counter()
+    for trial in range(trials):
+        trng = np.random.default_rng(seed * 100_000 + trial)
+        nt = bool(trng.integers(0, 4) == 0)
+        if nt:
+            a = 4
+            mat = matrices.constant_scoring(
+                int(trng.integers(1, 8)), -int(trng.integers(1, 8)),
+                SymType.NUCLEOTIDE,
+            )
+        else:
+            a = 20
+            if trng.integers(0, 4) == 0:
+                mat = matrices.constant_scoring(
+                    int(trng.integers(1, 8)), -int(trng.integers(1, 8)),
+                    SymType.AMINOACID,
+                )
+            else:
+                mat = matrices.builtin(str(trng.choice(builtins)))
+        go = int(trng.integers(1, 20))
+        ge = int(trng.integers(1, min(go + 1, 6)))
+        n_seqs = int(trng.integers(3, 120))
+        maxlen = int(trng.integers(6, 300))
+        seqs = [
+            trng.integers(0, a, int(trng.integers(1, maxlen))).astype(np.uint8)
+            for _ in range(n_seqs)
+        ]
+        # Occasionally plant a homolog to force ladder overflows.
+        q = trng.integers(0, a, int(trng.integers(1, 200))).astype(np.uint8)
+        if trng.integers(0, 2) == 0 and len(q) >= 4:
+            seqs[0] = np.tile(q, 1 + int(trng.integers(0, 3)))[: maxlen or 1]
+        db = SequenceDB.from_sequences(
+            [f"s{i}" for i in range(n_seqs)], seqs, mat.symtype
+        )
+        local = bool(trng.integers(0, 2))
+        bw = widths[int(trng.integers(0, len(widths)))]
+        bs = int(trng.choice([8, 32, 128]))
+        params = SearchParams(batch_size=bs)
+
+        fn = oracle.sw_score if local else oracle.nw_score
+        want = np.array([fn(q, s, mat.scores, go, ge) for s in seqs])
+
+        eng = SearchEngine(db, mat, go, ge, params)
+        got = eng.score_all(q, local, bw)
+        assert np.array_equal(got, want), (
+            f"trial {trial}: engine scores diverge "
+            f"(local={local} bw={bw} go={go} ge={ge})\n{got}\n{want}"
+        )
+        checked["scores"] += n_seqs
+
+        if trial % 3 == 0:
+            sh = ShardedSearchEngine(db, mat, go, ge, mesh, params)
+            k = min(n_seqs, int(trng.integers(1, 12)))
+            s_sh, i_sh = sh.search(q, k, local=local, bit_width=bw)
+            order = np.lexsort((np.arange(n_seqs), -want))[:k]
+            assert np.array_equal(s_sh, want[order]), f"trial {trial}: sharded"
+            checked["sharded"] += k
+
+        if trial % 4 == 0:
+            q2 = trng.integers(0, a, int(trng.integers(1, 100))).astype(np.uint8)
+            multi = eng.score_all_many([q, q2], local)
+            want2 = np.array([fn(q2, s, mat.scores, go, ge) for s in seqs])
+            assert np.array_equal(multi[0], want) and np.array_equal(
+                multi[1], want2
+            ), f"trial {trial}: multi-query"
+            checked["multi"] += 2 * n_seqs
+
+        if trial % 5 == 0:
+            sid = int(np.argmax(want))
+            tb = align_pair(q, seqs[sid], mat.scores, go, ge, local)
+            assert tb.score == want[sid], f"trial {trial}: traceback score"
+            checked["tracebacks"] += 1
+
+        if (trial + 1) % 10 == 0:
+            print(
+                f"  {trial + 1}/{trials} trials, {checked['scores']} scores "
+                f"checked, {time.perf_counter() - t0:.0f}s",
+                flush=True,
+            )
+    return checked
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=50)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+        ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    checked = run_soak(args.trials, args.seed)
+    print(json.dumps({"result": "ALL EXACT", "trials": args.trials, **checked}))
+
+
+if __name__ == "__main__":
+    main()
