@@ -217,25 +217,15 @@ class SequenceDB:
                 return size
         return -(-n_pad // 256) * 256
 
-    def chunks(
+    def _windows(
         self,
         batch_size: int,
         length_multiple: int = 32,
         max_length: int | None = None,
         pow2_buckets: bool = True,
         adaptive_lanes: bool = True,
-    ) -> Iterator[Chunk]:
-        """Yield length-sorted padded batches covering the whole DB.
-
-        Subjects longer than ``max_length`` (if given) are *not* yielded
-        here; fetch them via ``long_sequence_ids`` for the wavefront path.
-
-        ``adaptive_lanes``: long-sequence batches shrink their lane count
-        (power-of-two, >= 8) so one 35k-residue outlier doesn't force
-        ``batch_size`` lanes padded to 35k columns — the lane*column cell
-        budget stays near ``batch_size * 1024`` per chunk. Disable for
-        callers that require a fixed lane count (the sharded chunk plan).
-        """
+    ):
+        """Yield (ids, B, n_pad) chunk windows (planning only, no packing)."""
         order = self._order
         if max_length is not None:
             order = order[self.lengths[order] <= max_length]
@@ -288,14 +278,62 @@ class SequenceDB:
             start += lanes
             n = int(self.lengths[ids].max()) if len(ids) else 0
             n_pad = self._bucket_length(n, length_multiple, pow2_buckets)
-            codes = np.full((B, n_pad), PAD_CODE, dtype=np.uint8)
-            lengths = np.zeros(B, dtype=np.int32)
-            seq_ids = np.full(B, -1, dtype=np.int32)
-            for lane, sid in enumerate(ids):
-                seq = self.sequence(int(sid))
-                codes[lane, : len(seq)] = seq
-                lengths[lane] = len(seq)
-                seq_ids[lane] = sid
+            yield ids, B, n_pad
+
+    def _pack(self, ids, B: int, n_pad: int, transposed: bool = False):
+        """Vectorized pack of a window: one fancy-index gather (a Python
+        per-lane loop costs ~60 s at Swiss-Prot scale). ``transposed``
+        packs (n_pad, B) directly — the kernel layout — skipping the
+        cache-hostile transpose copy of a (B, n_pad) array."""
+        lengths = np.zeros(B, dtype=np.int32)
+        seq_ids = np.full(B, -1, dtype=np.int32)
+        lengths[: len(ids)] = self.lengths[ids]
+        seq_ids[: len(ids)] = ids
+        shape = (n_pad, B) if transposed else (B, n_pad)
+        codes = np.full(shape, PAD_CODE, dtype=np.uint8)
+        if len(ids):
+            if transposed:
+                pos = np.arange(n_pad, dtype=np.int64)[:, None]
+                offs = self.offsets[ids][None, :]
+                valid = pos < self.lengths[ids][None, :]
+                flat_idx = np.where(valid, offs + pos, 0)
+                codes[:, : len(ids)] = np.where(
+                    valid, self.codes[flat_idx], PAD_CODE
+                )
+            else:
+                pos = np.arange(n_pad, dtype=np.int64)[None, :]
+                offs = self.offsets[ids][:, None]
+                valid = pos < self.lengths[ids][:, None]
+                flat_idx = np.where(valid, offs + pos, 0)
+                codes[: len(ids)] = np.where(
+                    valid, self.codes[flat_idx], PAD_CODE
+                )
+        return codes, lengths, seq_ids
+
+    def chunks(
+        self,
+        batch_size: int,
+        length_multiple: int = 32,
+        max_length: int | None = None,
+        pow2_buckets: bool = True,
+        adaptive_lanes: bool = True,
+    ) -> Iterator[Chunk]:
+        """Yield length-sorted padded batches covering the whole DB.
+
+        Subjects longer than ``max_length`` (if given) are *not* yielded
+        here; fetch them via ``long_sequence_ids`` for the wavefront path.
+
+        ``adaptive_lanes``: long-sequence batches shrink their lane count
+        (power-of-two, >= 8) so one 35k-residue outlier doesn't force
+        ``batch_size`` lanes padded to 35k columns — the lane*column cell
+        budget stays near ``batch_size * 1024`` per chunk. Disable for
+        callers that require a fixed lane count (the sharded chunk plan).
+        """
+        for ids, B, n_pad in self._windows(
+            batch_size, length_multiple, max_length, pow2_buckets,
+            adaptive_lanes,
+        ):
+            codes, lengths, seq_ids = self._pack(ids, B, n_pad)
             yield Chunk(codes=codes, lengths=lengths, seq_ids=seq_ids)
 
     def grouped_stacks(self, batch_size: int, length_multiple: int = 32):
@@ -312,18 +350,18 @@ class SequenceDB:
         if cached is None:
             cached = self._stack_cache = {}
         if key not in cached:
-            groups: dict[tuple, list[Chunk]] = {}
-            for chunk in self.chunks(batch_size, length_multiple):
-                groups.setdefault(chunk.codes.shape, []).append(chunk)
+            groups: dict[tuple, list] = {}
+            for ids, B, n_pad in self._windows(batch_size, length_multiple):
+                groups.setdefault((n_pad, B), []).append(
+                    self._pack(ids, B, n_pad, transposed=True)
+                )
             cached[key] = [
                 (
-                    np.stack(
-                        [np.ascontiguousarray(c.codes.T) for c in chs]
-                    ).astype(np.int8),
-                    np.stack([c.lengths for c in chs]).astype(np.int32),
-                    [c.seq_ids for c in chs],
+                    np.stack([c for c, _, _ in packs]).astype(np.int8),
+                    np.stack([l for _, l, _ in packs]).astype(np.int32),
+                    [s for _, _, s in packs],
                 )
-                for chs in groups.values()
+                for packs in groups.values()
             ]
         return cached[key]
 
