@@ -427,11 +427,16 @@ class ShardedSearchEngine:
                     axis=0,
                 )
             )  # (sum_g, 2k): scores then ids per row
+            # Per-device top lists hold min(k, lanes) entries (a device
+            # can't produce k candidates from fewer lanes) — derive the
+            # actual width instead of assuming k (soak-caught: assuming k
+            # spliced ids into scores when batch_size/devices < k).
+            w = tops.shape[1] // 2
             off = 0
             for ids, _, _, _ in pending:
                 g = ids.shape[0]
-                all_s.append(tops[off : off + g, :k].reshape(-1).astype(np.int64))
-                all_i.append(tops[off : off + g, k:].reshape(-1).astype(np.int32))
+                all_s.append(tops[off : off + g, :w].reshape(-1).astype(np.int64))
+                all_i.append(tops[off : off + g, w:].reshape(-1).astype(np.int32))
                 off += g
             if track:
                 # All plan steps share the (D*B,) lane shape: axis-0 concat.

@@ -114,3 +114,19 @@ def test_fault_injection_requeues_chunk():
     assert faulty.requeued_chunks == 1
     np.testing.assert_array_equal(s_ok, s2)
     np.testing.assert_array_equal(i_ok, i2)
+
+
+def test_k_exceeds_per_device_lanes():
+    """k larger than a step's per-device lane count (soak-caught): the
+    per-device top lists are then min(k, lanes) wide and the decode must
+    not splice ids into scores."""
+    db = _db(81, seed=11)
+    rng = np.random.default_rng(12)
+    q = rng.integers(0, 20, 30).astype(np.uint8)
+    params = SearchParams(batch_size=8)  # 8 lanes/device < k=10
+    single = SearchEngine(db, B62, 10, 1, params)
+    sharded = ShardedSearchEngine(db, B62, 10, 1, make_db_mesh(1), params)
+    s1, i1 = single.search(q, k=10, local=True)
+    s2, i2 = sharded.search(q, k=10, local=True)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(i1, i2)
