@@ -22,6 +22,66 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _check_translated(trng, checked):
+    """Translated (blastx/tblastx-style) search vs a frame-by-frame oracle."""
+    from libssa_tpu import alphabet, matrices, oracle
+    from libssa_tpu.api import SSAContext
+    from libssa_tpu.constants import BitWidth, ComputeMode, Strand, SymType
+
+    gencode = int(trng.choice([1, 2, 5, 11]))
+    go, ge = int(trng.integers(2, 14)), 1
+    n_rec = int(trng.integers(2, 12))
+    nt_db = [
+        "".join(trng.choice(list("ACGT"), int(trng.integers(9, 120))))
+        for _ in range(n_rec)
+    ]
+    nt_q = "".join(trng.choice(list("ACGT"), int(trng.integers(9, 90))))
+    both = bool(trng.integers(0, 2))
+
+    ctx = SSAContext()
+    ctx.init_symbol_translation(
+        SymType.NUCLEOTIDE,
+        Strand.BOTH if both else Strand.FORWARD,
+        gencode,
+        gencode,
+        db_symtype=SymType.NUCLEOTIDE,
+    )
+    mat = matrices.builtin("BLOSUM62")
+    ctx.init_score_matrix("BLOSUM62")
+    ctx.init_gap_penalties(go, ge)
+    ctx.init_db_fasta(
+        "".join(f">r{i}\n{s}\n" for i, s in enumerate(nt_db))
+    )
+    query = ctx.init_sequence_fasta(nt_q)
+    hits = ctx.sw_align(query, k=n_rec, mode=ComputeMode.SCORE)
+
+    qc = alphabet.encode(nt_q, SymType.NUCLEOTIDE)
+    q_frames = [alphabet.translate(qc[f:], gencode) for f in range(3)]
+    if both:
+        rc = alphabet.reverse_complement(qc)
+        q_frames += [alphabet.translate(rc[f:], gencode) for f in range(3)]
+    q_frames = [f for f in q_frames if len(f)]
+    want = {}
+    for i, s in enumerate(nt_db):
+        sc = alphabet.encode(s, SymType.NUCLEOTIDE)
+        best = None
+        for src in (sc, alphabet.reverse_complement(sc)):
+            for f in range(3):
+                aa = alphabet.translate(src[f:], gencode)
+                if not len(aa):
+                    continue
+                for qf in q_frames:
+                    v = oracle.sw_score(qf, aa, mat.scores, go, ge)
+                    best = v if best is None else max(best, v)
+        want[i] = best
+    for h in hits:
+        assert h.score == want[h.seq_id], (
+            f"translated: record {h.seq_id} got {h.score} want {want[h.seq_id]} "
+            f"(gencode={gencode} both={both} go={go})"
+        )
+        checked["translated"] = checked.get("translated", 0) + 1
+
+
 def run_soak(trials: int, seed: int) -> dict:
     from libssa_tpu import matrices, oracle
     from libssa_tpu.constants import BitWidth, SymType
@@ -108,6 +168,9 @@ def run_soak(trials: int, seed: int) -> dict:
             tb = align_pair(q, seqs[sid], mat.scores, go, ge, local)
             assert tb.score == want[sid], f"trial {trial}: traceback score"
             checked["tracebacks"] += 1
+
+        if trial % 6 == 0:
+            _check_translated(trng, checked)
 
         if (trial + 1) % 10 == 0:
             print(
