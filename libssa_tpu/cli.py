@@ -99,6 +99,8 @@ def cmd_search(args) -> int:
     ctx.init_db_fasta(args.db)
     if args.chunk_size:
         ctx.set_chunk_size(args.chunk_size)
+    if getattr(args, "kernel", "auto") != "auto":
+        ctx.params.kernel = args.kernel
     bw = {8: BitWidth.BIT8, 16: BitWidth.BIT16, 64: BitWidth.BIT64, 0: BitWidth.EXACT}[
         args.bit_width
     ]
@@ -186,6 +188,9 @@ def main(argv=None) -> int:
                     help="search every record of the query FASTA (batched)")
     ps.add_argument("--json", action="store_true")
     ps.add_argument("--chunk-size", type=int, default=None)
+    ps.add_argument("--kernel", choices=["auto", "scan", "pallas"],
+                    default="auto",
+                    help="pin the scoring kernel (reference: pinning a SIMD level)")
     ps.add_argument("--xprof", metavar="DIR", default=None,
                     help="write a jax.profiler trace of the search to DIR")
     _add_scoring_args(ps)
