@@ -22,6 +22,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _path_score(q, s, tb, sub, go, ge):
+    """Independent evaluation of a traceback path's score."""
+    from libssa_tpu.oracle import gap_qr
+
+    Q, R = gap_qr(go, ge)
+    i, j = tb.q_begin, tb.s_begin
+    total, run = 0, None
+    for op in tb.cigar:
+        if op == "M":
+            total += int(sub[q[i], s[j]])
+            i += 1
+            j += 1
+            run = None
+        else:
+            total -= R if run == op else Q
+            run = op
+            if op == "D":
+                i += 1
+            else:
+                j += 1
+    assert (i, j) == (tb.q_end, tb.s_end)
+    return total
+
+
 def _check_translated(trng, checked):
     """Translated (blastx/tblastx-style) search vs a frame-by-frame oracle."""
     from libssa_tpu import alphabet, matrices, oracle
@@ -171,6 +195,30 @@ def run_soak(trials: int, seed: int) -> dict:
 
         if trial % 6 == 0:
             _check_translated(trng, checked)
+
+        if trial % 7 == 0:
+            # Linear-space (Myers-Miller) traceback vs oracle, incl. the
+            # independent path-score evaluation.
+            from libssa_tpu.search.hirschberg import align_pair_linear
+
+            sid = int(trng.integers(0, n_seqs))
+            tb = align_pair_linear(q, seqs[sid], mat.scores, go, ge, local)
+            assert tb.score == want[sid], f"trial {trial}: hirschberg score"
+            if tb.cigar:
+                ps = _path_score(q, seqs[sid], tb, mat.scores, go, ge)
+                assert ps == want[sid], f"trial {trial}: hirschberg path"
+            checked["hirschberg"] = checked.get("hirschberg", 0) + 1
+
+        if trial % 8 == 0 and len(q) and len(seqs[0]):
+            from libssa_tpu.parallel.ring import ring_score
+
+            sid = int(trng.integers(0, n_seqs))
+            rs = ring_score(
+                q, seqs[sid], mat.padded(), go, ge, local=local, mesh=mesh,
+                RB=32,
+            )
+            assert rs == want[sid], f"trial {trial}: ring score"
+            checked["ring"] = checked.get("ring", 0) + 1
 
         if (trial + 1) % 10 == 0:
             print(

@@ -41,6 +41,8 @@ def _tile_sweep(
     left_E,  # (RB,)    E[i0 .. i0+RB-1][c0-1]
     top_H,  # (W + 1,)  H[i0-1][c0-1 .. c0+W-1]    (corner included)
     top_F,  # (W,)      F[i0-1][c0 .. c0+W-1]
+    cap_r,  # traced scalar: capture H[cap_r][cap_c] (local tile coords)
+    cap_c,  # traced scalar; out-of-range -> nothing captured (NEG)
     Q,
     R,
     *,
@@ -64,7 +66,7 @@ def _tile_sweep(
     fmask = jnp.where(rid >= 1, -Q, NEG)
 
     def step(carry, xs):
-        Hcol, Ecol, Hup_prev, best = carry
+        Hcol, Ecol, Hup_prev, best, cap = carry
         c, s_c, topH_c, topH_prev, topF_c = xs
         S = prof_T[s_c]  # (RB,)
 
@@ -92,22 +94,29 @@ def _tile_sweep(
         H_new = jnp.maximum(Hnof, F)
         if local:
             best = jnp.maximum(best, jnp.max(H_new))
+        else:
+            # NW end-cell capture at (cap_r, cap_c), any tile position.
+            hit = c == cap_c
+            val = jax.lax.dynamic_index_in_dim(
+                H_new, jnp.clip(cap_r, 0, RB - 1), keepdims=False
+            )
+            cap = jnp.where(hit, val, cap)
         # Bottom-row outputs for the next row block of this device.
         bot_H = H_new[RB - 1]
         bot_F = F[RB - 1]
-        return (H_new, E_new, topH_c, best), (bot_H, bot_F)
+        return (H_new, E_new, topH_c, best, cap), (bot_H, bot_F)
 
     cs = jnp.arange(W, dtype=jnp.int32)
     topH_prevs = top_H[:W]  # H[i0-1][c0-1 .. c0+W-2]
     topH_cs = top_H[1:]  # H[i0-1][c0 .. c0+W-1]
-    (Hcol, Ecol, _, best), (bot_H, bot_F) = jax.lax.scan(
+    (Hcol, Ecol, _, best, cap), (bot_H, bot_F) = jax.lax.scan(
         step,
-        (left_H[1:], left_E, left_H[0], jnp.float32(0.0)),
+        (left_H[1:], left_E, left_H[0], jnp.float32(0.0), NEG),
         (cs, s_block, topH_cs, topH_prevs, top_F),
     )
     right_H = jnp.concatenate([top_H[W:], Hcol])  # H[i0-1][W] first
     bottom_H = jnp.concatenate([left_H[RB:], bot_H])  # corner first
-    return right_H, Ecol, bottom_H, bot_F, best
+    return right_H, Ecol, bottom_H, bot_F, best, cap
 
 
 def _nw_col_boundary(i, Q, R):
@@ -185,35 +194,22 @@ def ring_pair_score(
             left_H = jnp.where(d == 0, edge_H, inbox_H)
             left_E = jnp.where(d == 0, edge_E, inbox_E)
 
-            right_H, right_E, bottom_H, bottom_F, tile_best = _tile_sweep(
+            r_in = (mr - 1) - (rb * RB)  # row within block of query end
+            c_in = (nr - 1) - col0  # column within shard of subject end
+            right_H, right_E, bottom_H, bottom_F, tile_best, cap = _tile_sweep(
                 prof_block, s_local, left_H, left_E, top_H, top_F,
-                Qf, Rf, RB=RB, W=W, local=local,
+                r_in, c_in, Qf, Rf, RB=RB, W=W, local=local,
             )
             if local:
                 best = jnp.where(active, jnp.maximum(best, tile_best), best)
             else:
                 # Capture H[m_real][n_real] when it lives in this tile.
-                r_in = (mr - 1) - (rb * RB)  # row within block of query end
-                c_in = (nr - 1) - col0  # column within shard of subject end
-                hit = active & (r_in >= 0) & (r_in < RB) & (c_in >= 0) & (c_in < W)
-                # right_H holds only column W-1; instead recompute capture
-                # from bottom path is wrong in general — use a masked
-                # re-sweep trick: the cell (mr, nr) is the last column of
-                # the PAD-trimmed subject. With n padded, H at (r, c) for
-                # c = c_in is not retained; require nr to fall on this
-                # shard's last column OR mr on the block's last row:
-                cap_right = hit & (c_in == W - 1)
-                nw_score = jnp.where(
-                    cap_right,
-                    right_H[jnp.clip(r_in, 0, RB - 1) + 1],
-                    nw_score,
+                hit = (
+                    active
+                    & (r_in >= 0) & (r_in < RB)
+                    & (c_in >= 0) & (c_in < W)
                 )
-                cap_bottom = hit & (r_in == RB - 1)
-                nw_score = jnp.where(
-                    cap_bottom,
-                    bottom_H[jnp.clip(c_in, 0, W - 1) + 1],
-                    nw_score,
-                )
+                nw_score = jnp.where(hit, cap, nw_score)
             # Commit per-device top state only for genuinely active phases.
             top_H = jnp.where(active, bottom_H, top_H)
             top_F = jnp.where(active, bottom_F, top_F)
@@ -251,15 +247,7 @@ def ring_score(
     mesh: Mesh | None = None,
     RB: int = 64,
 ):
-    """Host convenience: pad, shard, and score one pair over the mesh.
-
-    NW requires the subject end to land on a shard's last column or the
-    query end on a block's last row (see ring_pair_score capture); padding
-    the subject to the shard multiple guarantees the former because the
-    true end is placed on the final shard boundary by construction only
-    when n == D*W — so for NW we choose W from the true length. SW has no
-    such constraint.
-    """
+    """Host convenience: pad, shard, and score one pair over the mesh."""
     from ..ops.scoring import make_profile
     from ..oracle import gap_qr
     from .sharded import make_db_mesh
@@ -278,23 +266,7 @@ def ring_score(
     pad_m = (-m) % RB
     if pad_m:
         prof = np.pad(prof, ((0, pad_m), (0, 0)), constant_values=-64)
-    if local:
-        W = -(-n // D)
-    else:
-        # NW: place the true subject end exactly on the last shard's last
-        # column by requiring n % D == 0 after padding the QUERY instead.
-        W = -(-n // D)
-        if W * D != n:
-            # pad subject and rely on the bottom-row capture: query end
-            # must land on a block's last row -> pad m_real to RB multiple
-            # is not allowed (changes the score); instead extend subject
-            # pad and capture via the r_in == RB-1 path only if
-            # (m % RB == 0 and m_real == m). Fall back to requiring it:
-            if m % RB != 0:
-                raise ValueError(
-                    "ring NW needs len(query) % RB == 0 or len(subject) % "
-                    f"n_devices == 0 (got m={m}, n={n}, D={D}, RB={RB})"
-                )
+    W = -(-n // D)
     s_pad = np.full((W * D,), PADDED_ALPHABET - 1, np.int64)
     s_pad[:n] = np.asarray(s_codes, np.int64)
 

@@ -52,3 +52,13 @@ def test_ring_gap_conventions(mesh):
     for go, ge in [(5, 2), (20, 1)]:
         got = ring_score(q, s, B62.padded(), go, ge, local=True, mesh=mesh)
         assert got == oracle.sw_score(q, s, B62.scores, go, ge)
+
+
+@pytest.mark.parametrize("m,n", [(41, 179), (30, 30), (65, 500)])
+def test_ring_nw_arbitrary_lengths(mesh, m, n):
+    """NW capture at any (m, n) — no shard/block alignment required."""
+    rng = np.random.default_rng(m + n)
+    q = rng.integers(0, 20, m).astype(np.uint8)
+    s = rng.integers(0, 20, n).astype(np.uint8)
+    got = ring_score(q, s, B62.padded(), 12, 2, local=False, mesh=mesh, RB=32)
+    assert got == oracle.nw_score(q, s, B62.scores, 12, 2)
