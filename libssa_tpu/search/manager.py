@@ -113,18 +113,23 @@ class SearchEngine:
         Subset databases (ladder rescores) are tiny and not cached.
         """
         p = self.params
+
+        def _upload(grouped):
+            return tuple(
+                (
+                    jnp.asarray(c, jnp.int8),
+                    jnp.asarray(l, jnp.int32),
+                    jnp.asarray(np.stack(sids), jnp.int32),
+                )
+                for c, l, sids in grouped
+            )
+
         grouped = db.grouped_stacks(bs, p.length_multiple)
         if db is not self.db:
-            return grouped, tuple(
-                (jnp.asarray(c, jnp.int8), jnp.asarray(l, jnp.int32))
-                for c, l, _ in grouped
-            )
+            return grouped, _upload(grouped)
         key = (bs, p.length_multiple)
         if key not in self._device_stacks:
-            self._device_stacks[key] = tuple(
-                (jnp.asarray(c, jnp.int8), jnp.asarray(l, jnp.int32))
-                for c, l, _ in grouped
-            )
+            self._device_stacks[key] = _upload(grouped)
         return grouped, self._device_stacks[key]
 
     def prepare(self, query_length: int = 256, local: bool = True) -> None:
@@ -170,14 +175,15 @@ class SearchEngine:
         # on-device. Through the axon tunnel each round trip costs
         # ~40-60 ms flat, so per-chunk calls would dominate the sweep
         # (measured: 40x on a 10k-seq DB).
-        grouped, stacks = self._stacks_on_device(db, bs)
+        grouped, dev_stacks = self._stacks_on_device(db, bs)
         # SW ignores m_real (pad rows clamp to 0): drop it from the stage
         # key so all query lengths share one compiled stage per shape.
-        sweep, _ = kernels.stage_sweep(
+        sweep, _, _ = kernels.stage_sweep(
             self.params.kernel if dtype_str != "int32" else "scan",
             int(self.gap_q), int(self.gap_r), local, p.use_matmul,
             dtype_str, None if local else m_real, eff_limit,
         )
+        stacks = tuple((codes, lens) for codes, lens, _ in dev_stacks)
         s_flat, f_flat = sweep(profile_j, stacks)
         s_all = np.asarray(s_flat)
         f_all = np.asarray(f_flat) if track else None
@@ -309,14 +315,14 @@ class SearchEngine:
             if local:
                 # All (query, chunk) pairs of this profile-height group in
                 # ONE dispatch: per-group stacks carry their pair indices.
-                _, sweep_multi = kernels.stage_sweep(
+                _, sweep_multi, _ = kernels.stage_sweep(
                     p.kernel, int(self.gap_q), int(self.gap_r), local,
                     p.use_matmul, p.dtype, None, eff_limit,
                 )
                 stacks = []
                 row_map = []
                 nq = len(qids)
-                for (codes, lens), (_, _, seq_id_list) in zip(
+                for (codes, lens, _), (_, _, seq_id_list) in zip(
                     dev_stacks, grouped
                 ):
                     nc = len(seq_id_list)
@@ -338,13 +344,13 @@ class SearchEngine:
                 # NW capture depends on the true query length (a static
                 # kernel parameter): per-query sweeps.
                 for qi in qids:
-                    sweep, _ = kernels.stage_sweep(
+                    sweep, _, _ = kernels.stage_sweep(
                         p.kernel, int(self.gap_q), int(self.gap_r), local,
                         p.use_matmul, p.dtype, profs[qi][1], eff_limit,
                     )
                     stacks = []
                     row_map = []
-                    for (codes, lens), (_, _, seq_id_list) in zip(
+                    for (codes, lens, _), (_, _, seq_id_list) in zip(
                         dev_stacks, grouped
                     ):
                         stacks.append((codes, lens))
@@ -392,7 +398,78 @@ class SearchEngine:
         local: bool = True,
         stats: SearchStats | None = None,
     ) -> list[tuple[np.ndarray, np.ndarray]]:
-        """Per-query top-k hit lists for a batch of queries."""
-        scores = self.score_all_many(queries, local, stats)
-        ids = np.arange(scores.shape[1])
-        return [host_topk(scores[qi], ids, k) for qi in range(len(queries))]
+        """Per-query top-k hit lists for a batch of queries.
+
+        Top-k reduces ON DEVICE: the serving link moves real data at
+        ~7 MB/s (measured), so fetching full (Q, n_subjects) score
+        matrices dominated large sweeps (35 s of a 71 s 100 x 500k run).
+        Only (Q, k) lists plus an any-overflow scalar come back; the
+        astronomically rare f32-window overflow falls back to the
+        full-matrix path.
+        """
+        from . import kernels
+
+        p = self.params
+        stats = stats if stats is not None else SearchStats()
+        if not queries or any(len(q) == 0 for q in queries):
+            raise ValueError("need at least one non-empty query")
+        heights = {len(q) + ((-len(q)) % 32) for q in queries}
+        if not local or len(heights) > 1:
+            # NW needs per-query m_real kernels; mixed profile heights
+            # need grouped sweeps — both take the full-matrix path.
+            scores = self.score_all_many(queries, local, stats)
+            ids = np.arange(scores.shape[1])
+            return [host_topk(scores[qi], ids, k) for qi in range(len(queries))]
+
+        t0 = time.perf_counter()
+        profs = []
+        for q in queries:
+            prof = make_profile(q, self.padded_matrix)
+            pad_m = (-len(q)) % 32
+            if pad_m:
+                prof = np.pad(prof, ((0, pad_m), (0, 0)), constant_values=-64)
+            profs.append(prof)
+        prof_stack = jnp.asarray(np.stack(profs), jnp.int32)
+
+        grouped, dev_stacks = self._stacks_on_device(self.db, p.batch_size)
+        _, _, sweep_topk = kernels.stage_sweep(
+            p.kernel, int(self.gap_q), int(self.gap_r), local,
+            p.use_matmul, p.dtype, None, F32_WINDOW if p.dtype == "float32" else None,
+        )
+        nq = len(queries)
+        stacks = []
+        for codes, lens, ids_d in dev_stacks:
+            nc = int(codes.shape[0])
+            iq = np.repeat(np.arange(nq, dtype=np.int32), nc)
+            ic = np.tile(np.arange(nc, dtype=np.int32), nq)
+            stacks.append((codes, lens, ids_d, iq, ic))
+        top_s, top_i, any_f = sweep_topk(prof_stack, tuple(stacks), k, nq)
+        fetched = np.asarray(
+            jnp.concatenate(
+                [
+                    top_s.reshape(-1),  # int32: scores bounded by F32_WINDOW
+                    top_i.reshape(-1),
+                    jnp.reshape(any_f.astype(jnp.int32), (1,)),
+                ]
+            )
+        ).astype(np.int64)
+        if fetched[-1]:
+            # f32-window overflow somewhere: exact full-matrix fallback.
+            scores = self.score_all_many(queries, local, stats)
+            ids = np.arange(scores.shape[1])
+            return [host_topk(scores[qi], ids, k) for qi in range(nq)]
+        kk = min(k, (len(fetched) - 1) // (2 * nq))
+        s_mat = fetched[: nq * kk].reshape(nq, kk)
+        i_mat = fetched[nq * kk : 2 * nq * kk].reshape(nq, kk)
+        # Padding lanes sort last as (NEG, INVALID): trim them (every query
+        # sees the same subject set, so the valid count is shared).
+        n_valid = int((i_mat[0] != 2**31 - 1).sum()) if nq else 0
+        kk = min(kk, n_valid)
+        for q in queries:
+            stats.cells += len(q) * self.db.total_residues
+        stats.subjects += nq * len(self.db)
+        stats.seconds += time.perf_counter() - t0
+        return [
+            (s_mat[qi, :kk], i_mat[qi, :kk].astype(np.int32))
+            for qi in range(nq)
+        ]
