@@ -260,6 +260,10 @@ class SearchEngine:
         stats: SearchStats | None = None,
     ):
         """Top-k (scores, seq_ids) for one query, reference hit ordering."""
+        if local and bit_width in (BitWidth.EXACT, BitWidth.BIT64):
+            # Exact single-pass searches ride the device-side top-k sweep
+            # (identical results; only (k,) lists cross the ~7 MB/s link).
+            return self.search_many([q_codes], k, local, stats)[0]
         scores = self.score_all(q_codes, local, bit_width, stats)
         return host_topk(scores, np.arange(len(scores)), k)
 
