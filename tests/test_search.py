@@ -177,3 +177,16 @@ def test_device_stack_cache_across_queries(small_db):
         )
         order = np.lexsort((np.arange(len(want)), -want))[:5]
         np.testing.assert_array_equal(s, want[order])
+
+
+def test_search_fast_path_matches_ladder(small_db):
+    """EXACT (device top-k) and BIT8 (ladder) searches agree at the
+    search() level, including tie ordering."""
+    db, seqs = small_db
+    eng = SearchEngine(db, B62, 11, 1, SearchParams(batch_size=16))
+    rng = np.random.default_rng(3)
+    q = rng.integers(0, 20, 25).astype(np.uint8)
+    s_fast, i_fast = eng.search(q, 9, bit_width=BitWidth.EXACT)
+    s_lad, i_lad = eng.search(q, 9, bit_width=BitWidth.BIT8)
+    np.testing.assert_array_equal(s_fast, s_lad)
+    np.testing.assert_array_equal(i_fast, i_lad)
