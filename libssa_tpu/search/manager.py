@@ -22,9 +22,11 @@ Precision rungs on TPU (see ops/interseq.py for the rationale):
 """
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -36,6 +38,18 @@ from ..ops.scoring import make_profile
 from ..ops.topk import host_topk
 
 F32_WINDOW = 2**24 - 1  # largest integer magnitude f32 tracks exactly
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _device_topk(scores, seq_ids, k: int):
+    """Top-k with host_topk's tie-break, computed on device."""
+    NEG = jnp.int32(-(2**31) + 1)
+    INVALID = jnp.int32(2**31 - 1)
+    valid = seq_ids >= 0
+    s = jnp.where(valid, scores.astype(jnp.int32), NEG)
+    i = jnp.where(valid, seq_ids, INVALID)
+    neg_s, ids = jax.lax.sort((-s, i), num_keys=2)
+    return -neg_s[:k], ids[:k]
 
 
 @dataclass
@@ -264,8 +278,76 @@ class SearchEngine:
             # Exact single-pass searches ride the device-side top-k sweep
             # (identical results; only (k,) lists cross the ~7 MB/s link).
             return self.search_many([q_codes], k, local, stats)[0]
+        if local:
+            return self._ladder_search_device(q_codes, k, bit_width, stats)
         scores = self.score_all(q_codes, local, bit_width, stats)
         return host_topk(scores, np.arange(len(scores)), k)
+
+    def _ladder_search_device(self, q_codes, k, bit_width, stats):
+        """BIT8/BIT16 SW search with device-resident ladder state.
+
+        The first rung's scores stay on device; only the overflow flags
+        (bool) cross the link. Overflowed subjects rescore on the host
+        sub-ladder (faithful rung stats), scatter back into the device
+        score array, and one device sort returns the top-k — so a
+        narrow-width search costs one sweep plus a tiny fetch even at
+        Swiss-Prot scale.
+        """
+        from . import kernels
+
+        p = self.params
+        stats = stats if stats is not None else SearchStats()
+        if len(q_codes) == 0:
+            raise ValueError("empty query")
+        t0 = time.perf_counter()
+        m = len(q_codes)
+        profile = make_profile(q_codes, self.padded_matrix)
+        pad_m = (-m) % 32
+        if pad_m:
+            profile = np.pad(profile, ((0, pad_m), (0, 0)), constant_values=-64)
+        profile_j = jnp.asarray(profile, jnp.int32)
+
+        grouped, dev_stacks = self._stacks_on_device(self.db, p.batch_size)
+        limit = SCORE_LIMIT_8 if bit_width == BitWidth.BIT8 else SCORE_LIMIT_16
+        eff_limit = min(limit, F32_WINDOW) if p.dtype == "float32" else limit
+        sweep, _, _ = kernels.stage_sweep(
+            p.kernel, int(self.gap_q), int(self.gap_r), True, p.use_matmul,
+            p.dtype, None, eff_limit,
+        )
+        stacks = tuple((codes, lens) for codes, lens, _ in dev_stacks)
+        s_dev, f_dev = sweep(profile_j, stacks)
+        flags = np.asarray(f_dev)  # bool: the only bulk fetch
+        stats.cells += m * self.db.total_residues
+
+        flat_ids = np.concatenate(
+            [np.stack(sids).reshape(-1) for _, _, sids in grouped]
+        )
+        over_ids = np.unique(flat_ids[flags & (flat_ids >= 0)]).astype(np.int32)
+        if len(over_ids):
+            stats.rescored[f"limit>{eff_limit}"] = len(over_ids)
+            sub = self.db.subset(over_ids)
+            sub_bw = (
+                BitWidth.BIT16 if bit_width == BitWidth.BIT8 else BitWidth.EXACT
+            )
+            r = SearchEngine(
+                sub, self.matrix, self.gap_open, self.gap_extend, p
+            ).score_all(q_codes, True, sub_bw, stats)
+            pos = np.full(len(self.db), -1, dtype=np.int64)
+            valid = flat_ids >= 0
+            pos[flat_ids[valid]] = np.nonzero(valid)[0]
+            s_dev = s_dev.at[jnp.asarray(pos[over_ids])].set(
+                jnp.asarray(r.astype(np.int32))
+            )
+        ids_dev = jnp.concatenate([ids.reshape(-1) for _, _, ids in dev_stacks])
+        top_s, top_i = _device_topk(s_dev, ids_dev, min(k, len(self.db)))
+        fetched = np.asarray(jnp.concatenate([top_s, top_i]))
+        kk = len(fetched) // 2
+        s_out = fetched[:kk].astype(np.int64)
+        i_out = fetched[kk:].astype(np.int32)
+        n_valid = int((i_out != 2**31 - 1).sum())
+        stats.subjects += len(self.db)
+        stats.seconds += time.perf_counter() - t0
+        return s_out[:n_valid], i_out[:n_valid]
 
     # -- multi-query ------------------------------------------------------
 
