@@ -294,6 +294,39 @@ class SSAContext:
         # Score every query strand/frame; an entry's score is its best over
         # them (first listed wins ties, keeping hit lists deterministic).
         q_seqs = self._search_sequences(query)
+
+        if len(q_seqs) == 1 and orig_ids is None:
+            # Plain single-sequence search: ride the engine's device-side
+            # top-k (full score arrays never cross the slow serving link).
+            label, codes = q_seqs[0]
+            top_scores, top_ids = engine.search(codes, k, local, bit_width, stats)
+            hits = []
+            for score, rid in zip(top_scores, top_ids):
+                rid = int(rid)
+                hit = Alignment(
+                    seq_id=rid,
+                    header=self.db.headers[rid],
+                    score=int(score),
+                    align_type=align_type,
+                    strand=label,
+                )
+                if mode is ComputeMode.ALIGNMENT:
+                    sc = search_db.sequence(rid)
+                    tb = aligner.align_pair(
+                        codes, sc, self.matrix.scores,
+                        self.gap_open, self.gap_extend, local,
+                    )
+                    assert tb.score == hit.score, (
+                        f"traceback score {tb.score} != search score {hit.score}"
+                    )
+                    hit.q_begin, hit.q_end = tb.q_begin, tb.q_end
+                    hit.s_begin, hit.s_end = tb.s_begin, tb.s_end
+                    hit.cigar = tb.cigar
+                    dec = lambda c: alphabet.decode(c, self.matrix.symtype)
+                    hit.aligned = tb.aligned_strings(codes, sc, dec)
+                hits.append(hit)
+            return AlignmentList(hits=hits, stats=stats)
+
         best_scores = None
         best_label = None
         if len(q_seqs) > 1:
