@@ -38,6 +38,9 @@ from ..ops.scoring import make_profile
 from ..ops.topk import host_topk
 
 F32_WINDOW = 2**24 - 1  # largest integer magnitude f32 tracks exactly
+# Below this DB size the per-subject score fetch is cheaper than the
+# device ladder's extra round trips (~7 MB/s link, ~60 ms/round trip).
+DEVICE_LADDER_MIN_SUBJECTS = 100_000
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -278,7 +281,10 @@ class SearchEngine:
             # Exact single-pass searches ride the device-side top-k sweep
             # (identical results; only (k,) lists cross the ~7 MB/s link).
             return self.search_many([q_codes], k, local, stats)[0]
-        if local:
+        if local and len(self.db) >= DEVICE_LADDER_MIN_SUBJECTS:
+            # The device-resident ladder trades ~2 extra round trips for
+            # not fetching the per-subject score array — worthwhile once
+            # that array outweighs the ~7 MB/s link's round-trip cost.
             return self._ladder_search_device(q_codes, k, bit_width, stats)
         scores = self.score_all(q_codes, local, bit_width, stats)
         return host_topk(scores, np.arange(len(scores)), k)

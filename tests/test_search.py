@@ -190,3 +190,35 @@ def test_search_fast_path_matches_ladder(small_db):
     s_lad, i_lad = eng.search(q, 9, bit_width=BitWidth.BIT8)
     np.testing.assert_array_equal(s_fast, s_lad)
     np.testing.assert_array_equal(i_fast, i_lad)
+
+
+def test_device_resident_ladder_path(small_db, monkeypatch):
+    """Force the big-DB device-resident ladder on a small DB: results must
+    equal the host ladder, including rescore bookkeeping."""
+    from libssa_tpu.search import manager as M
+
+    db, seqs = small_db
+    rng = np.random.default_rng(17)
+    q = rng.integers(0, 20, 40).astype(np.uint8)
+    # plant a homolog so the 8-bit rung genuinely overflows
+    eng_ref = SearchEngine(db, B62, 11, 1, SearchParams(batch_size=16))
+    want_s, want_i = eng_ref.search(q, 7, bit_width=BitWidth.BIT8)
+
+    monkeypatch.setattr(M, "DEVICE_LADDER_MIN_SUBJECTS", 1)
+    eng_dev = SearchEngine(db, B62, 11, 1, SearchParams(batch_size=16))
+    stats = SearchStats()
+    got_s, got_i = eng_dev.search(q, 7, bit_width=BitWidth.BIT8, stats=stats)
+    np.testing.assert_array_equal(want_s, got_s)
+    np.testing.assert_array_equal(want_i, got_i)
+
+    # with an overflowing homolog DB
+    db2, seqs2 = _db(30, seed=3, minlen=70, maxlen=90)
+    q2 = seqs2[4].copy()
+    ref2 = SearchEngine(db2, B62, 10, 1, SearchParams(batch_size=8))
+    w_s, w_i = ref2.search(q2, 5, bit_width=BitWidth.BIT8)
+    dev2 = SearchEngine(db2, B62, 10, 1, SearchParams(batch_size=8))
+    st2 = SearchStats()
+    g_s, g_i = dev2.search(q2, 5, bit_width=BitWidth.BIT8, stats=st2)
+    np.testing.assert_array_equal(w_s, g_s)
+    np.testing.assert_array_equal(w_i, g_i)
+    assert st2.rescored, "overflowing homolog must hit the rescore rung"
