@@ -141,8 +141,14 @@ def run_soak(trials: int, seed: int) -> dict:
                 mat = matrices.builtin(str(trng.choice(builtins)))
         go = int(trng.integers(1, 20))
         ge = int(trng.integers(1, min(go + 1, 6)))
-        n_seqs = int(trng.integers(3, 120))
-        maxlen = int(trng.integers(6, 300))
+        if trial % 10 == 9:
+            # Big-shape trial: long subjects exercise the kernel's
+            # 256-column streaming blocks and the geometric buckets.
+            n_seqs = int(trng.integers(50, 300))
+            maxlen = int(trng.integers(600, 3000))
+        else:
+            n_seqs = int(trng.integers(3, 120))
+            maxlen = int(trng.integers(6, 300))
         seqs = [
             trng.integers(0, a, int(trng.integers(1, maxlen))).astype(np.uint8)
             for _ in range(n_seqs)
