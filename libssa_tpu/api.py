@@ -39,6 +39,23 @@ from .util import logging as _logging
 from .util.logging import log
 
 
+class ScoreMismatchError(RuntimeError):
+    """Traceback score disagreed with the search score.
+
+    The search kernels and the traceback aligner are independent
+    implementations; a disagreement means one of them is wrong for this
+    input and the result cannot be trusted. Raised as a real exception
+    (not an ``assert``) so ``python -O`` cannot silence it.
+    """
+
+
+def _check_scores_match(tb_score: int, search_score: int) -> None:
+    if tb_score != search_score:
+        raise ScoreMismatchError(
+            f"traceback score {tb_score} != search score {search_score}"
+        )
+
+
 @dataclass
 class Query:
     """A translated query ready for search.
@@ -316,9 +333,7 @@ class SSAContext:
                         codes, sc, self.matrix.scores,
                         self.gap_open, self.gap_extend, local,
                     )
-                    assert tb.score == hit.score, (
-                        f"traceback score {tb.score} != search score {hit.score}"
-                    )
+                    _check_scores_match(tb.score, hit.score)
                     hit.q_begin, hit.q_end = tb.q_begin, tb.q_end
                     hit.s_begin, hit.s_end = tb.s_begin, tb.s_end
                     hit.cigar = tb.cigar
@@ -388,9 +403,7 @@ class SSAContext:
                 tb = aligner.align_pair(
                     qc, sc, self.matrix.scores, self.gap_open, self.gap_extend, local
                 )
-                assert tb.score == hit.score, (
-                    f"traceback score {tb.score} != search score {hit.score}"
-                )
+                _check_scores_match(tb.score, hit.score)
                 hit.q_begin, hit.q_end = tb.q_begin, tb.q_end
                 hit.s_begin, hit.s_end = tb.s_begin, tb.s_end
                 hit.cigar = tb.cigar
@@ -473,6 +486,10 @@ class SSAContext:
                 self._align(q, k, BitWidth.EXACT, mode, align_type)
                 for q in queries
             ]
+        # One SearchStats for the whole batch: the sweep is a single device
+        # dispatch, so per-query cell/second attribution does not exist.
+        # Every returned AlignmentList shares this batch-level object (the
+        # CLI reports it once, not per query).
         stats = SearchStats()
         hitlists = engine.search_many(
             [q.sequences[0][1] for q in queries], k, local, stats
@@ -486,6 +503,7 @@ class SSAContext:
                     header=self.db.headers[int(sid)],
                     score=int(score),
                     align_type=align_type,
+                    strand=q.sequences[0][0],
                 )
                 if mode is ComputeMode.ALIGNMENT:
                     qc = q.sequences[0][1]
@@ -494,7 +512,7 @@ class SSAContext:
                         qc, sc, self.matrix.scores,
                         self.gap_open, self.gap_extend, local,
                     )
-                    assert tb.score == hit.score
+                    _check_scores_match(tb.score, hit.score)
                     hit.q_begin, hit.q_end = tb.q_begin, tb.q_end
                     hit.s_begin, hit.s_end = tb.s_begin, tb.s_end
                     hit.cigar = tb.cigar

@@ -107,6 +107,12 @@ def cmd_search(args) -> int:
     mode = ComputeMode.ALIGNMENT if args.align else ComputeMode.SCORE
 
     if args.all_queries:
+        if args.bit_width:
+            print(
+                "warning: --bit-width is ignored with --all-queries "
+                "(the batched sweep always runs the exact path)",
+                file=sys.stderr,
+            )
         queries = ctx.init_sequences_fasta(args.query)
         atype = AlignType.SW if args.algo == "sw" else AlignType.NW
         t0 = time.perf_counter()
@@ -114,10 +120,19 @@ def cmd_search(args) -> int:
             lists = ctx.align_many(queries, k=args.k, mode=mode, align_type=atype)
         dt = time.perf_counter() - t0
         if args.json:
-            print(json.dumps([
-                _hit_json(hl, q.header, hl.stats.cells, dt)
-                for q, hl in zip(queries, lists)
-            ]))
+            # Stats are batch-level (one device sweep serves every query),
+            # so cells/seconds are reported ONCE for the whole batch.
+            print(json.dumps({
+                "queries": [
+                    {"query": q.header, "hits": _hit_json(hl, q.header, 0, 0)["hits"]}
+                    for q, hl in zip(queries, lists)
+                ],
+                "cells": sum(
+                    s.cells
+                    for s in {id(hl.stats): hl.stats for hl in lists}.values()
+                ),
+                "seconds": round(dt, 4),
+            }))
         else:
             print(f"{len(queries)} queries, {dt:.2f}s total")
             for q, hl in zip(queries, lists):

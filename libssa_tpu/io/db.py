@@ -349,6 +349,14 @@ class SequenceDB:
         cached = getattr(self, "_stack_cache", None)
         if cached is None:
             cached = self._stack_cache = {}
+        if key in cached:
+            cached[key] = cached.pop(key)  # LRU touch
+        else:
+            # Bounded LRU: each entry is a full packed copy of the DB in
+            # host RAM; cap at two keys (the common A/B chunk-size pattern)
+            # so varying batch sizes cannot leak memory.
+            while len(cached) >= 2:
+                cached.pop(next(iter(cached)))
         if key not in cached:
             groups: dict[tuple, list] = {}
             for ids, B, n_pad in self._windows(batch_size, length_multiple):

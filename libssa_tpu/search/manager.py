@@ -146,7 +146,14 @@ class SearchEngine:
             return grouped, _upload(grouped)
         key = (bs, p.length_multiple)
         if key not in self._device_stacks:
+            # Bounded LRU: each entry pins the whole packed DB in HBM, so a
+            # long-lived engine that varies chunk size must not accumulate
+            # copies. One extra key covers the common A/B pattern.
+            while len(self._device_stacks) >= 2:
+                self._device_stacks.pop(next(iter(self._device_stacks)))
             self._device_stacks[key] = _upload(grouped)
+        else:
+            self._device_stacks[key] = self._device_stacks.pop(key)  # LRU touch
         return grouped, self._device_stacks[key]
 
     def prepare(self, query_length: int = 256, local: bool = True) -> None:

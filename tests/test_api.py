@@ -254,3 +254,72 @@ def test_align_many_matches_single(tmp_path):
         assert [(h.seq_id, h.score, h.cigar) for h in hl] == [
             (h.seq_id, h.score, h.cigar) for h in single
         ]
+
+
+def test_align_many_reverse_strand_label(tmp_path):
+    """Batched fast path carries the query strand label (ADVICE r1)."""
+    c = SSAContext()
+    c.init_symbol_translation(SymType.NUCLEOTIDE, Strand.REVERSE)
+    c.init_constant_scoring(5, -4)
+    c.init_gap_penalties(10, 2)
+    target = "ACGTTTGCACGTAA"
+    rc = alphabet.decode(
+        alphabet.reverse_complement(alphabet.encode(target, SymType.NUCLEOTIDE)),
+        SymType.NUCLEOTIDE,
+    )
+    db_path = tmp_path / "nt.fas"
+    fasta.write_fasta(str(db_path), [("rev", rc), ("other", "GGGGCCCCGGGG")])
+    c.init_db_fasta(str(db_path))
+    q = c.init_sequence_fasta(target)
+    assert len(q.sequences) == 1 and q.sequences[0][0] == "-"
+    lists = c.align_many([q], k=1, mode=ComputeMode.ALIGNMENT)
+    single = c.sw_align(q, k=1, mode=ComputeMode.ALIGNMENT)
+    assert lists[0][0].strand == "-" == single[0].strand
+    assert lists[0][0].score == single[0].score
+
+
+def test_score_mismatch_is_real_exception():
+    """Score cross-checks must survive ``python -O`` (VERDICT r1 weak #3)."""
+    import subprocess
+    import sys
+
+    from libssa_tpu.api import ScoreMismatchError, _check_scores_match
+
+    with pytest.raises(ScoreMismatchError):
+        _check_scores_match(41, 42)
+    _check_scores_match(7, 7)  # equal scores pass
+    code = (
+        "from libssa_tpu.api import ScoreMismatchError, _check_scores_match\n"
+        "try:\n"
+        "    _check_scores_match(1, 2)\n"
+        "except ScoreMismatchError:\n"
+        "    print('RAISED')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-O", "-c", code],
+        capture_output=True, text=True, timeout=120,
+        env={**__import__('os').environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert "RAISED" in out.stdout, out.stderr
+
+
+def test_engine_caches_are_bounded():
+    """Device/host stack caches must not grow without bound (VERDICT r1 weak #6)."""
+    import numpy as np
+
+    from libssa_tpu.io.db import SequenceDB
+    from libssa_tpu.search.manager import SearchEngine
+
+    rng = np.random.default_rng(7)
+    seqs = [rng.integers(0, 24, size=30).astype(np.uint8) for _ in range(40)]
+    db = SequenceDB.from_sequences(
+        [f"s{i}" for i in range(40)], seqs, SymType.AMINOACID
+    )
+    eng = SearchEngine(db, matrices.builtin("BLOSUM62"), 10, 1)
+    for bs in (8, 16, 24, 32, 48):
+        eng._stacks_on_device(db, bs)
+        db.grouped_stacks(bs)
+    assert len(eng._device_stacks) <= 2
+    assert len(db._stack_cache) <= 2
+    # LRU: the most recent key survives
+    assert (48, eng.params.length_multiple) in eng._device_stacks
