@@ -242,19 +242,10 @@ class SSAContext:
                 f"{self.matrix.symtype.value} matrix"
             )
         if self._translated_db is None:
-            seqs, headers, orig, labels = [], [], [], []
-            for i in range(len(self.db)):
-                nt = self.db.sequence(i)
-                for lab, src in (("+", nt), ("-", alphabet.reverse_complement(nt))):
-                    for f in range(3):
-                        aa = alphabet.translate(src[f:], self.d_gencode)
-                        if len(aa):
-                            seqs.append(aa)
-                            headers.append(self.db.headers[i])
-                            orig.append(i)
-                            labels.append(f"{lab}{f}")
-            tdb = SequenceDB.from_sequences(headers, seqs, SymType.AMINOACID)
-            self._translated_db = (tdb, np.array(orig, np.int32), labels)
+            # Vectorized whole-DB six-frame expansion with npz persistence
+            # (SequenceDB.translated) — record-major +0 +1 +2 -0 -1 -2
+            # entry order, identical to the reference-style per-record loop.
+            self._translated_db = self.db.translated(self.d_gencode)
         return self._translated_db
 
     def _search_sequences(self, query: Query) -> list[tuple[str, np.ndarray]]:

@@ -182,3 +182,57 @@ def test_adaptive_lane_chunks_long_outlier():
     assert outlier_chunk.codes.shape[0] <= 64
     total_cells = sum(c.codes.shape[0] * c.codes.shape[1] for c in chunks)
     assert total_cells < 2048 * 1024 * 3  # far below 2048 lanes x 32768
+
+
+def test_translated_db_matches_per_record_loop(tmp_path):
+    """Vectorized six-frame expansion == the naive per-record loop (r2)."""
+    import numpy as np
+
+    from libssa_tpu import alphabet
+    from libssa_tpu.constants import SymType
+    from libssa_tpu.io import fasta
+    from libssa_tpu.io.db import SequenceDB
+
+    rng = np.random.default_rng(5)
+    # include ambiguity codes (codes 0..15) and short records (< 3 nt)
+    seqs = [
+        rng.integers(0, 15, int(n)).astype(np.uint8)
+        for n in [1, 2, 3, 4, 7, 30, 61, 0, 5]
+        if n > 0
+    ]
+    for gencode in (1, 2, 11):
+        db = SequenceDB.from_sequences(
+            [f"r{i}" for i in range(len(seqs))], seqs, SymType.NUCLEOTIDE
+        )
+        tdb, orig, labels = db.translated(gencode)
+        # naive reference expansion
+        want_seqs, want_orig, want_labels = [], [], []
+        for i, nt in enumerate(seqs):
+            for lab, src in (("+", nt), ("-", alphabet.reverse_complement(nt))):
+                for f in range(3):
+                    aa = alphabet.translate(src[f:], gencode)
+                    if len(aa):
+                        want_seqs.append(aa)
+                        want_orig.append(i)
+                        want_labels.append(f"{lab}{f}")
+        assert len(tdb) == len(want_seqs)
+        assert orig.tolist() == want_orig
+        assert labels == want_labels
+        for e in range(len(tdb)):
+            np.testing.assert_array_equal(tdb.sequence(e), want_seqs[e])
+
+    # cache roundtrip: second call loads the persisted npz
+    nt_text = "\n".join(
+        f">r{i}\n{alphabet.decode(s, SymType.NUCLEOTIDE)}" for i, s in enumerate(seqs)
+    )
+    p = tmp_path / "nt.fas"
+    p.write_text(nt_text + "\n")
+    db1 = SequenceDB.from_fasta(str(p), SymType.NUCLEOTIDE)
+    t1, o1, l1 = db1.translated(1)
+    import os
+    assert os.path.exists(str(p) + ".aa1.ssadb6.npz")
+    db2 = SequenceDB.from_fasta(str(p), SymType.NUCLEOTIDE)
+    t2, o2, l2 = db2.translated(1)
+    np.testing.assert_array_equal(t1.codes, t2.codes)
+    np.testing.assert_array_equal(o1, o2)
+    assert l1 == l2

@@ -130,3 +130,40 @@ def test_k_exceeds_per_device_lanes():
     s2, i2 = sharded.search(q, k=10, local=True)
     np.testing.assert_array_equal(s1, s2)
     np.testing.assert_array_equal(i1, i2)
+
+
+@pytest.mark.parametrize("n_devices", [2, 8])
+def test_sharded_search_many_matches_single_device(n_devices):
+    """Multi-query sharded sweep == single-device search_many (r2)."""
+    db = _db(60, seed=11)
+    rng = np.random.default_rng(12)
+    # Mixed query lengths on purpose: heights 32 and 64 exercise grouping.
+    queries = [
+        rng.integers(0, 20, int(n)).astype(np.uint8)
+        for n in (21, 30, 40, 33)
+    ]
+    params = SearchParams(batch_size=16)
+    single = SearchEngine(db, B62, 10, 1, params)
+    sharded = ShardedSearchEngine(
+        db, B62, 10, 1, make_db_mesh(n_devices), params
+    )
+    want = single.search_many(queries, k=7, local=True)
+    got = sharded.search_many(queries, k=7, local=True)
+    assert len(got) == len(want)
+    for (ws, wi), (gs, gi) in zip(want, got):
+        np.testing.assert_array_equal(ws, gs)
+        np.testing.assert_array_equal(wi, gi)
+
+
+def test_sharded_search_many_k_exceeds_db():
+    db = _db(5, seed=13)
+    rng = np.random.default_rng(14)
+    queries = [rng.integers(0, 20, 15).astype(np.uint8) for _ in range(2)]
+    params = SearchParams(batch_size=8)
+    sharded = ShardedSearchEngine(db, B62, 10, 1, make_db_mesh(4), params)
+    single = SearchEngine(db, B62, 10, 1, params)
+    got = sharded.search_many(queries, k=20, local=True)
+    want = single.search_many(queries, k=20, local=True)
+    for (ws, wi), (gs, gi) in zip(want, got):
+        np.testing.assert_array_equal(ws, gs)
+        np.testing.assert_array_equal(wi, gi)
