@@ -68,43 +68,72 @@ def synth_query(m: int, seed: int):
 
 
 def config1():
-    """1 query vs 1 subject, NW global, score-only (wavefront kernel)."""
+    """1 query vs 1 subject, NW global, score-only.
+
+    Round 2: batched pairs route through the inter-sequence kernel
+    (ops/wavefront.pair_scores_batch) — the anti-diagonal skew that held
+    round 1 to ~1 GCUPS disappears when pairs sit across lanes. The
+    single-pair-latency number (one dispatch through the tunnel) is
+    emitted alongside for honesty.
+    """
     import jax.numpy as jnp
 
     from libssa_tpu import matrices, oracle
     from libssa_tpu.ops.scoring import make_profile
     from libssa_tpu.ops.wavefront import (
+        pair_scores_batch,
         wavefront_pair_score,
-        wavefront_pair_scores_batch,
     )
 
     mat = matrices.builtin("BLOSUM62")
     m = n = 512
-    P = 32
+    P = 2048
     q = synth_query(m, 1)
     subs = np.stack([synth_query(n, 2 + i) for i in range(P)])
     prof = jnp.asarray(make_profile(q, mat.padded()), jnp.int32)
-    subj = jnp.asarray(subs, jnp.int32)
-    gq, gr = jnp.int32(12), jnp.int32(1)
+    subj = jnp.asarray(subs, jnp.int8)
+    gq, gr = 12, 1
 
     lens = jnp.full((P,), n, jnp.int32)
-    got = np.asarray(
-        wavefront_pair_scores_batch(prof, subj, lens, gq, gr, local=False)
-    )
-    want = oracle.nw_score(q, subs[0], mat.scores, 11, 1)
-    assert got[0] == want, f"wavefront NW {got[0]} != oracle {want}"
 
-    reps = 10
-    t0 = time.perf_counter()
-    for _ in range(reps - 1):
-        wavefront_pair_scores_batch(prof, subj, lens, gq, gr, local=False)
-    np.asarray(
-        wavefront_pair_scores_batch(prof, subj, lens, gq, gr, local=False)
-    )
-    dt = (time.perf_counter() - t0) / reps
+    def run(sync=True):
+        s = pair_scores_batch(prof, subj, lens, gq, gr, local=False, m_real=m)
+        return np.asarray(s) if sync else s
+
+    got = run()
+    for i in (0, 1, P - 1):
+        want = oracle.nw_score(q, subs[i], mat.scores, 11, 1)
+        assert got[i] == want, f"batched NW {got[i]} != oracle {want} (pair {i})"
+
+    # Throughput: slope timing (N=1 vs N=10 dispatches + fence, min of 3).
+    t1, tn = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        t1.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        for _ in range(9):
+            run(sync=False)
+        run()
+        tn.append(time.perf_counter() - t0)
+    dt = (min(tn) - min(t1)) / 9
     emit(
-        1, "1v1 NW pairs/sec (batch 32/dispatch)", P / dt, "pairs/s",
+        1, f"1v1 NW pairs/sec (batch {P}/dispatch)", P / dt, "pairs/s",
         gcups=round(P * m * n / dt / 1e9, 3), exact=True, m=m, n=n,
+    )
+
+    # Single-pair latency (tunnel-dominated: ~2 round trips minimum).
+    sj = jnp.asarray(subs[0], jnp.int32)
+    np.asarray(wavefront_pair_score(prof, sj, jnp.int32(gq), jnp.int32(gr), local=False))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        np.asarray(
+            wavefront_pair_score(prof, sj, jnp.int32(gq), jnp.int32(gr), local=False)
+        )
+    lat = (time.perf_counter() - t0) / 3
+    emit(
+        1, "1v1 NW single-pair latency", lat * 1e3, "ms",
+        note="one dispatch+fence through the serving tunnel",
     )
 
 

@@ -59,7 +59,6 @@ def _merged_topk(scores, ids, k):
         "use_matmul",
         "track_range",
         "dtype",
-        "m_real",
         "kernel_impl",
     ),
 )
@@ -145,7 +144,6 @@ def sharded_search_step(
         "use_matmul",
         "track_range",
         "dtype",
-        "m_real",
         "kernel_impl",
     ),
 )

@@ -141,6 +141,44 @@ class TestMultiQuery:
             expect = [oracle_mod.nw_score(q, s, B62.scores, 10, 1) for s in seqs]
             np.testing.assert_array_equal(many[qi], expect)
 
+    def test_search_many_nw_device_topk(self, small_db):
+        """NW multi-query rides the device top-k path (traced m_real, r2)."""
+        db, seqs = small_db
+        rng = np.random.default_rng(21)
+        # mixed lengths on purpose: per-query m_real in one dispatch
+        queries = [
+            rng.integers(0, 20, int(n)).astype(np.uint8) for n in (9, 17, 30)
+        ]
+        eng = SearchEngine(db, B62, 10, 1, SearchParams(batch_size=16))
+        results = eng.search_many(queries, k=5, local=False)
+        import libssa_tpu.oracle as oracle_mod
+        from libssa_tpu.ops.topk import host_topk
+
+        for q, (scores, ids) in zip(queries, results):
+            want = np.array(
+                [oracle_mod.nw_score(q, s, B62.scores, 10, 1) for s in seqs]
+            )
+            ws, wi = host_topk(want, np.arange(len(want)), 5)
+            np.testing.assert_array_equal(scores, ws)
+            np.testing.assert_array_equal(ids, wi)
+
+    def test_search_nw_single_device_topk(self, small_db):
+        """Single NW search routes through search_many (r2)."""
+        db, seqs = small_db
+        rng = np.random.default_rng(22)
+        q = rng.integers(0, 20, 26).astype(np.uint8)
+        eng = SearchEngine(db, B62, 12, 2, SearchParams(batch_size=16))
+        scores, ids = eng.search(q, k=6, local=False)
+        import libssa_tpu.oracle as oracle_mod
+        from libssa_tpu.ops.topk import host_topk
+
+        want = np.array(
+            [oracle_mod.nw_score(q, s, B62.scores, 12, 2) for s in seqs]
+        )
+        ws, wi = host_topk(want, np.arange(len(want)), 6)
+        np.testing.assert_array_equal(scores, ws)
+        np.testing.assert_array_equal(ids, wi)
+
     def test_empty_query_list_raises(self, small_db):
         db, _ = small_db
         eng = SearchEngine(db, B62, 10, 1)

@@ -100,3 +100,37 @@ def test_wavefront_batch_ragged_vs_oracle():
         fn = oracle.sw_score if local else oracle.nw_score
         want = [fn(q, s, B62.scores, 10, 1) for s in raw]
         assert list(got) == want, (local, list(got), want)
+
+
+def test_pair_scores_batch_matches_oracle():
+    """Batched 1v1 via the inter-sequence route == oracle (SW and NW)."""
+    import numpy as np
+
+    from libssa_tpu import matrices, oracle
+    from libssa_tpu.constants import PADDED_ALPHABET
+    from libssa_tpu.ops.scoring import make_profile
+    from libssa_tpu.ops.wavefront import pair_scores_batch
+
+    rng = np.random.default_rng(17)
+    mat = matrices.builtin("BLOSUM62")
+    q = rng.integers(0, 20, 33).astype(np.uint8)
+    lens = [5, 20, 41, 64]
+    n_pad = max(lens)
+    subs = np.full((len(lens), n_pad), PADDED_ALPHABET - 1, np.int32)
+    for i, l in enumerate(lens):
+        subs[i, :l] = rng.integers(0, 20, l)
+    prof = make_profile(q, mat.padded())
+    Q, R = oracle.gap_qr(10, 1)
+    for local in (True, False):
+        got = np.asarray(
+            pair_scores_batch(
+                prof, subs, np.array(lens, np.int32), Q, R,
+                local=local, m_real=len(q), kernel="scan",
+            )
+        )
+        fn = oracle.sw_score if local else oracle.nw_score
+        want = np.array(
+            [fn(q, subs[i, :l].astype(np.uint8), mat.scores, 10, 1)
+             for i, l in enumerate(lens)]
+        )
+        np.testing.assert_array_equal(got, want)
