@@ -234,6 +234,7 @@ def sharded_multi_sweep(
     seq_ids: jax.Array,  # (g, D*B)
     iq: jax.Array,  # (pairs,) query index per (query, step) pair
     ic: jax.Array,  # (pairs,) step index per pair
+    m_reals: jax.Array,  # (Qn,) true query lengths (traced; NW capture)
     gap_q: int,
     gap_r: int,
     *,
@@ -253,29 +254,30 @@ def sharded_multi_sweep(
     top-k, the lists merge via ``all_gather`` across the db axis, and the
     overflow flags reduce to one scalar per pair with ``psum`` — so the
     fetch is (pairs, k) lists plus (pairs,) flags no matter the DB size.
-    SW only (NW per-query capture lives on the single-device path).
+    NW rides the same sweep since r2 (traced per-query ``m_reals``).
     """
 
-    def device_fn(profs, subs, lens, ids, iq_d, ic_d):
+    def device_fn(profs, subs, lens, ids, iq_d, ic_d, mrs):
         def one(pair):
             qi, ci = pair
             prof = jax.lax.dynamic_index_in_dim(profs, qi, 0, keepdims=False)
             sub_t = jax.lax.dynamic_index_in_dim(subs, ci, 0, keepdims=False)
             len_t = jax.lax.dynamic_index_in_dim(lens, ci, 0, keepdims=False)
             id_t = jax.lax.dynamic_index_in_dim(ids, ci, 0, keepdims=False)
+            mr = mrs[qi]
             if kernel_impl == "pallas":
                 from ..ops.interseq_pallas import interseq_scores_pallas
 
                 scores, hi, lo = interseq_scores_pallas(
                     prof, sub_t.T, len_t, gap_q, gap_r,
-                    local=local, track_range=track_range,
+                    local=local, track_range=track_range, m_real=mr,
                 )
             else:
                 scores, hi, lo = interseq.interseq_scores(
                     prof, sub_t.T, len_t,
                     jnp.int32(gap_q), jnp.int32(gap_r),
                     local=local, use_matmul=use_matmul,
-                    track_range=track_range, dtype=dtype,
+                    track_range=track_range, dtype=dtype, m_real=mr,
                 )
             valid = id_t >= 0
             s_masked = jnp.where(valid, scores, NEG_SCORE)
@@ -299,10 +301,10 @@ def sharded_multi_sweep(
     return jax.shard_map(
         device_fn,
         mesh=mesh,
-        in_specs=(P(), P(None, "d"), P(None, "d"), P(None, "d"), P(), P()),
+        in_specs=(P(), P(None, "d"), P(None, "d"), P(None, "d"), P(), P(), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
-    )(prof_stack, subjects, lengths, seq_ids, iq, ic)
+    )(prof_stack, subjects, lengths, seq_ids, iq, ic, m_reals)
 
 
 class ShardedSearchEngine:
@@ -606,10 +608,6 @@ class ShardedSearchEngine:
         stats = stats if stats is not None else SearchStats()
         if not queries or any(len(q) == 0 for q in queries):
             raise ValueError("need at least one non-empty query")
-        if not local:
-            # NW capture needs per-query kernels: single-query sharded
-            # steps per query (still device top-k merged).
-            return [self.search(q, k, local, None, stats) for q in queries]
         t0 = _time.perf_counter()
 
         dtype = jnp.float32 if self.params.dtype == "float32" else jnp.int32
@@ -652,6 +650,9 @@ class ShardedSearchEngine:
                     ids_d,
                     jnp.asarray(iq),
                     jnp.asarray(ic),
+                    jnp.asarray(
+                        [len(queries[qi]) for qi in qis], jnp.int32
+                    ),
                     int(self.gap_q),
                     int(self.gap_r),
                     mesh=self.mesh,

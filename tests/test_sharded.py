@@ -132,8 +132,9 @@ def test_k_exceeds_per_device_lanes():
     np.testing.assert_array_equal(i1, i2)
 
 
+@pytest.mark.parametrize("local", [True, False], ids=["sw", "nw"])
 @pytest.mark.parametrize("n_devices", [2, 8])
-def test_sharded_search_many_matches_single_device(n_devices):
+def test_sharded_search_many_matches_single_device(n_devices, local):
     """Multi-query sharded sweep == single-device search_many (r2)."""
     db = _db(60, seed=11)
     rng = np.random.default_rng(12)
@@ -147,8 +148,8 @@ def test_sharded_search_many_matches_single_device(n_devices):
     sharded = ShardedSearchEngine(
         db, B62, 10, 1, make_db_mesh(n_devices), params
     )
-    want = single.search_many(queries, k=7, local=True)
-    got = sharded.search_many(queries, k=7, local=True)
+    want = single.search_many(queries, k=7, local=local)
+    got = sharded.search_many(queries, k=7, local=local)
     assert len(got) == len(want)
     for (ws, wi), (gs, gi) in zip(want, got):
         np.testing.assert_array_equal(ws, gs)
