@@ -168,9 +168,19 @@ class SSAContext:
         self.matrix = matrices.constant_scoring(match, mismatch, self.symtype)
         self._engine = None
 
-    def init_gap_penalties(self, gap_open: int, gap_extend: int):
-        oracle.gap_qr(gap_open, gap_extend)  # validates
+    def init_gap_penalties(
+        self, gap_open: int, gap_extend: int, first_residue_opens: bool = True
+    ):
+        """Set affine gap penalties.
+
+        ``first_residue_opens`` picks the Gotoh convention (SURVEY.md
+        App. A notes both live in the reference's code family): True
+        (default) charges open+extend for a gap's first residue
+        (Q = open + extend); False charges open alone (Q = open).
+        """
+        oracle.gap_qr(gap_open, gap_extend, first_residue_opens)  # validates
         self.gap_open, self.gap_extend = gap_open, gap_extend
+        self.params.first_residue_opens = first_residue_opens
         self._engine = None
 
     def init_db_fasta(self, path_or_text: str):
@@ -323,6 +333,7 @@ class SSAContext:
                     tb = aligner.align_pair(
                         codes, sc, self.matrix.scores,
                         self.gap_open, self.gap_extend, local,
+                        self.params.first_residue_opens,
                     )
                     _check_scores_match(tb.score, hit.score)
                     hit.q_begin, hit.q_end = tb.q_begin, tb.q_end
@@ -363,6 +374,7 @@ class SSAContext:
                     tb = aligner.align_pair(
                         qc, sc, self.matrix.scores,
                         self.gap_open, self.gap_extend, local,
+                        self.params.first_residue_opens,
                     )
                     _check_scores_match(tb.score, hit.score)
                     hit.q_begin, hit.q_end = tb.q_begin, tb.q_end
@@ -432,7 +444,8 @@ class SSAContext:
                 qc = label_codes[hit.strand]
                 sc = search_db.sequence(entry)
                 tb = aligner.align_pair(
-                    qc, sc, self.matrix.scores, self.gap_open, self.gap_extend, local
+                    qc, sc, self.matrix.scores, self.gap_open,
+                    self.gap_extend, local, self.params.first_residue_opens,
                 )
                 _check_scores_match(tb.score, hit.score)
                 hit.q_begin, hit.q_end = tb.q_begin, tb.q_end
@@ -462,7 +475,8 @@ class SSAContext:
         best = None
         for label, qc in q_seqs:
             tb = aligner.align_pair(
-                qc, sc, self.matrix.scores, self.gap_open, self.gap_extend, local
+                qc, sc, self.matrix.scores, self.gap_open, self.gap_extend,
+                local, self.params.first_residue_opens,
             )
             if best is None or tb.score > best[1].score:
                 best = (label, tb, qc)
@@ -542,6 +556,7 @@ class SSAContext:
                     tb = aligner.align_pair(
                         qc, sc, self.matrix.scores,
                         self.gap_open, self.gap_extend, local,
+                        self.params.first_residue_opens,
                     )
                     _check_scores_match(tb.score, hit.score)
                     hit.q_begin, hit.q_end = tb.q_begin, tb.q_end

@@ -26,6 +26,9 @@ def _add_scoring_args(p: argparse.ArgumentParser):
                    help="constant match score (with --mismatch, overrides --matrix)")
     p.add_argument("--mismatch", type=int, default=None)
     p.add_argument("--gap-open", type=int, default=10)
+    p.add_argument("--gap-open-only", action="store_true",
+                   help="gap convention: first gap residue costs open alone "
+                        "(default: open + extend)")
     p.add_argument("--gap-extend", type=int, default=1)
     p.add_argument("--symtype", choices=["aa", "nt"], default="aa",
                    help="query alphabet")
@@ -59,7 +62,10 @@ def _configure(args):
         ctx.init_constant_scoring(args.match, args.mismatch)
     else:
         ctx.init_score_matrix(args.matrix)
-    ctx.init_gap_penalties(args.gap_open, args.gap_extend)
+    ctx.init_gap_penalties(
+        args.gap_open, args.gap_extend,
+        first_residue_opens=not getattr(args, "gap_open_only", False),
+    )
     return ctx
 
 

@@ -326,7 +326,9 @@ class ShardedSearchEngine:
         self.mesh = mesh if mesh is not None else make_db_mesh()
         self.params = params or SearchParams()
         self.gap_open, self.gap_extend = gap_open, gap_extend
-        self.gap_q, self.gap_r = gap_qr(gap_open, gap_extend)
+        self.gap_q, self.gap_r = gap_qr(
+            gap_open, gap_extend, self.params.first_residue_opens
+        )
         self._fallback = SearchEngine(db, matrix, gap_open, gap_extend, self.params)
         self._plan = None
         self._device_plan = None  # device-resident stacked plan groups

@@ -64,6 +64,10 @@ class SearchParams:
     use_matmul: bool = True  # MXU one-hot profile gather vs jnp.take
     dtype: str = "float32"  # DP arithmetic: "float32" (fast) | "int32"
     kernel: str = "auto"  # "auto" | "scan" | "pallas" (forced)
+    # Gap convention (SURVEY.md App. A: both live in the SWIPE/SWARM code
+    # family): True -> opening a gap costs open+extend for its first
+    # residue (Q = open+extend); False -> Q = open.
+    first_residue_opens: bool = True
 
 
 @dataclass
@@ -117,8 +121,10 @@ class SearchEngine:
         self.padded_matrix = matrix.padded()
         self.gap_open = gap_open
         self.gap_extend = gap_extend
-        self.gap_q, self.gap_r = gap_qr(gap_open, gap_extend)
         self.params = params or SearchParams()
+        self.gap_q, self.gap_r = gap_qr(
+            gap_open, gap_extend, self.params.first_residue_opens
+        )
         self._device_stacks: dict = {}
 
     def _stacks_on_device(self, db, bs: int):

