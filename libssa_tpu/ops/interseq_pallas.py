@@ -84,8 +84,6 @@ def _kernel(
     Rf = jnp.float32(R)
     mr = mr_ref[0]
     mrf = mr.astype(jnp.float32)
-    kc = (mr - 1) // CH  # chunk holding the NW capture row
-    rmod = (mr - 1) % CH
 
     # Confined-scan masks, (CH, 1): additive -d*R inside the chunk window,
     # NEG outside (kills circular-roll wraparound). The F shift folds -Q.
@@ -101,8 +99,7 @@ def _kernel(
     # instead of riding the scan via a seeded select.
     fdecay = (-rid.astype(jnp.float32) * Rf).astype(jnp.float32)
     row0f = jax.lax.broadcasted_iota(jnp.int32, (m, B), 0) == 0
-    # NW capture / range masks from the traced m_real (loop-invariant).
-    cap_rmask = rid == rmod  # (CH, 1)
+    # NW range masks from the traced m_real (loop-invariant).
     rows_lt = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) < mr  # (m, 1)
 
     jblk = pl.program_id(1)  # n-block index: subjects stream over grid dim 1
@@ -187,28 +184,25 @@ def _kernel(
             carry = jnp.maximum(D[CH - 1 : CH, :] - Qf, carry - CH * Rf)
             if local:
                 A_ref[:] = jnp.maximum(A_ref[:], H_new)
-            else:
-                @pl.when(kc == k)
-                def _capture(H_new=H_new, t=t):
-                    captured = jnp.max(
-                        jnp.where(cap_rmask, H_new, NEG_F32),
-                        axis=0,
-                        keepdims=True,
-                    )
-                    scores_ref[:] = jnp.where(
-                        t == lengths - 1, captured, scores_ref[:]
-                    )
+            elif track_range:
+                # Rows >= m_real are -64-profile padding whose decayed
+                # H must not pollute hi/lo.
+                Hm = jnp.where(rows_lt[sl], H_new, 0.0)
+                A_ref[:] = jnp.maximum(
+                    A_ref[:], jnp.where(valid, Hm, NEG_F32)
+                )
+                L_ref[:] = jnp.minimum(
+                    L_ref[:], jnp.where(valid, Hm, -NEG_F32)
+                )
 
-                if track_range:
-                    # Rows >= m_real are -64-profile padding whose decayed
-                    # H must not pollute hi/lo.
-                    Hm = jnp.where(rows_lt[sl], H_new, 0.0)
-                    A_ref[:] = jnp.maximum(
-                        A_ref[:], jnp.where(valid, Hm, NEG_F32)
-                    )
-                    L_ref[:] = jnp.minimum(
-                        L_ref[:], jnp.where(valid, Hm, -NEG_F32)
-                    )
+        if not local:
+            # NW capture: row m_real-1 of the freshly written column — one
+            # dynamic (1, B) row read (32-bit rows slice at any offset),
+            # latched on each lane's last real column. Replaced the r2
+            # per-chunk pl.when capture, which measured 35% slower
+            # (151 vs ~215 GCUPS; docs/PERF_NOTES.md).
+            cap = H_ref[pl.ds(mr - 1, 1), :]
+            scores_ref[:] = jnp.where(t == lengths - 1, cap, scores_ref[:])
 
     jax.lax.fori_loop(0, n_blk // 2, outer, 0)
 

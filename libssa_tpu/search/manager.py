@@ -295,16 +295,17 @@ class SearchEngine:
             # m_real) ride the device-side top-k sweep: only (k,) lists
             # cross the ~7 MB/s link.
             return self.search_many([q_codes], k, local, stats)[0]
-        if local and len(self.db) >= DEVICE_LADDER_MIN_SUBJECTS:
+        if len(self.db) >= DEVICE_LADDER_MIN_SUBJECTS:
             # The device-resident ladder trades ~2 extra round trips for
             # not fetching the per-subject score array — worthwhile once
             # that array outweighs the ~7 MB/s link's round-trip cost.
-            return self._ladder_search_device(q_codes, k, bit_width, stats)
+            # NW joins in r2 (traced m_real).
+            return self._ladder_search_device(q_codes, k, local, bit_width, stats)
         scores = self.score_all(q_codes, local, bit_width, stats)
         return host_topk(scores, np.arange(len(scores)), k)
 
-    def _ladder_search_device(self, q_codes, k, bit_width, stats):
-        """BIT8/BIT16 SW search with device-resident ladder state.
+    def _ladder_search_device(self, q_codes, k, local, bit_width, stats):
+        """BIT8/BIT16 search (SW or NW) with device-resident ladder state.
 
         The first rung's scores stay on device; only the overflow flags
         (bool) cross the link. Overflowed subjects rescore on the host
@@ -331,11 +332,11 @@ class SearchEngine:
         limit = SCORE_LIMIT_8 if bit_width == BitWidth.BIT8 else SCORE_LIMIT_16
         eff_limit = min(limit, F32_WINDOW) if p.dtype == "float32" else limit
         sweep, _, _, _ = kernels.stage_sweep(
-            p.kernel, int(self.gap_q), int(self.gap_r), True, p.use_matmul,
+            p.kernel, int(self.gap_q), int(self.gap_r), local, p.use_matmul,
             p.dtype, eff_limit,
         )
         stacks = tuple((codes, lens) for codes, lens, _ in dev_stacks)
-        s_dev, f_dev = sweep(profile_j, stacks)
+        s_dev, f_dev = sweep(profile_j, stacks, jnp.int32(m))
         flags = np.asarray(f_dev)  # bool: the only bulk fetch
         stats.cells += m * self.db.total_residues
 
@@ -351,7 +352,7 @@ class SearchEngine:
             )
             r = SearchEngine(
                 sub, self.matrix, self.gap_open, self.gap_extend, p
-            ).score_all(q_codes, True, sub_bw, stats)
+            ).score_all(q_codes, local, sub_bw, stats)
             pos = np.full(len(self.db), -1, dtype=np.int64)
             valid = flat_ids >= 0
             pos[flat_ids[valid]] = np.nonzero(valid)[0]

@@ -260,3 +260,28 @@ def test_device_resident_ladder_path(small_db, monkeypatch):
     np.testing.assert_array_equal(w_s, g_s)
     np.testing.assert_array_equal(w_i, g_i)
     assert st2.rescored, "overflowing homolog must hit the rescore rung"
+
+
+def test_device_resident_ladder_path_nw(small_db, monkeypatch):
+    """NW rides the device-resident ladder too (r2, traced m_real)."""
+    from libssa_tpu.search import manager as M
+
+    db, seqs = small_db
+    rng = np.random.default_rng(19)
+    q = rng.integers(0, 20, 40).astype(np.uint8)
+    eng_ref = SearchEngine(db, B62, 11, 1, SearchParams(batch_size=16))
+    want_s, want_i = eng_ref.search(q, 7, local=False, bit_width=BitWidth.BIT16)
+
+    monkeypatch.setattr(M, "DEVICE_LADDER_MIN_SUBJECTS", 1)
+    eng_dev = SearchEngine(db, B62, 11, 1, SearchParams(batch_size=16))
+    stats = SearchStats()
+    got_s, got_i = eng_dev.search(
+        q, 7, local=False, bit_width=BitWidth.BIT16, stats=stats
+    )
+    np.testing.assert_array_equal(want_s, got_s)
+    np.testing.assert_array_equal(want_i, got_i)
+    # NW scores leave the 8-bit window fast: BIT8 must still be exact
+    w8 = eng_ref.search(q, 7, local=False, bit_width=BitWidth.BIT8)
+    g8 = eng_dev.search(q, 7, local=False, bit_width=BitWidth.BIT8)
+    np.testing.assert_array_equal(w8[0], g8[0])
+    np.testing.assert_array_equal(w8[1], g8[1])
