@@ -307,6 +307,138 @@ def sharded_multi_sweep(
     )(prof_stack, subjects, lengths, seq_ids, iq, ic, m_reals)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "gap_q",
+        "gap_r",
+        "mesh",
+        "k",
+        "n_frames",
+        "local",
+        "use_matmul",
+        "track_range",
+        "dtype",
+        "kernel_impl",
+        "limit",
+    ),
+)
+def sharded_reduced_sweep(
+    prof_stack: jax.Array,  # (F, m, 32) replicated query-frame profiles
+    subjects: jax.Array,  # (g, D*B, n_pad) sharded over 'd' on axis 1
+    lengths: jax.Array,  # (g, D*B)
+    seq_ids: jax.Array,  # (g, D*B) translated-entry ids, -1 padding
+    m_reals: jax.Array,  # (F,)
+    group_of: jax.Array,  # (n_entries,) entry id -> record id, replicated
+    gap_q: int,
+    gap_r: int,
+    *,
+    mesh: Mesh,
+    k: int,
+    n_frames: int,
+    local: bool = True,
+    use_matmul: bool = True,
+    track_range: bool = False,
+    dtype=jnp.float32,
+    kernel_impl: str = "scan",
+    limit: int | None = None,
+):
+    """Frame-fanout translated search over the mesh, reduced on device.
+
+    Mirrors ``kernels.stage_sweep``'s ``sweep_reduced`` semantics per
+    shard, then merges across the db axis. Distributed per-record top-k is
+    sound because each device first reduces to its LOCAL best entry per
+    record: if record X ranks in the global top-k, fewer than k records on
+    X's device outrank X's local (= global) best, so X survives the local
+    k-truncation before the ``all_gather`` — the standard distributed
+    top-k argument, plus a second record-dedup in the replicated merge
+    (a record's entries can straddle shards).
+
+    Returns replicated ``(top_s, top_rec, top_entry, top_frame (k,),
+    any_f scalar)``.
+    """
+    NEG = jnp.int32(-(2**31) + 1)
+    INVALID = jnp.int32(2**31 - 1)
+
+    def device_fn(profs, subs, lens, ids, mrs, grp):
+        def one(ci):
+            def one_frame(fi):
+                prof = jax.lax.dynamic_index_in_dim(profs, fi, 0, keepdims=False)
+                sub_t = jax.lax.dynamic_index_in_dim(subs, ci, 0, keepdims=False)
+                len_t = jax.lax.dynamic_index_in_dim(lens, ci, 0, keepdims=False)
+                mr = mrs[fi]
+                if kernel_impl == "pallas":
+                    from ..ops.interseq_pallas import interseq_scores_pallas
+
+                    return interseq_scores_pallas(
+                        prof, sub_t.T, len_t, gap_q, gap_r,
+                        local=local, track_range=track_range, m_real=mr,
+                    )
+                return interseq.interseq_scores(
+                    prof, sub_t.T, len_t,
+                    jnp.int32(gap_q), jnp.int32(gap_r),
+                    local=local, use_matmul=use_matmul,
+                    track_range=track_range, dtype=dtype, m_real=mr,
+                )
+
+            s, hi, lo = jax.lax.map(
+                one_frame, jnp.arange(n_frames, dtype=jnp.int32)
+            )  # (F, B) each
+            id_t = jax.lax.dynamic_index_in_dim(ids, ci, 0, keepdims=False)
+            if track_range:
+                fl = interseq.overflow_flags(s, hi, lo, limit, local)
+                any_f = jnp.any(fl & (id_t >= 0)[None, :])
+            else:
+                any_f = jnp.bool_(False)
+            fmax = jnp.max(s.astype(jnp.int32), axis=0)  # (B,)
+            farg = jnp.argmax(s.astype(jnp.int32), axis=0).astype(jnp.int32)
+            valid = id_t >= 0
+            rec = jnp.where(valid, grp[jnp.maximum(id_t, 0)], INVALID)
+            return (
+                jnp.where(valid, fmax, NEG),
+                jnp.where(valid, id_t, INVALID),
+                rec,
+                farg,
+                any_f,
+            )
+
+        g = subs.shape[0]
+        s, e, r, f, af = jax.lax.map(one, jnp.arange(g, dtype=jnp.int32))
+        s, e, r, f = (x.reshape(-1) for x in (s, e, r, f))
+        # Local per-record best (lowest entry on score ties), then local
+        # top-k records by (score desc, record asc).
+        r1, neg_s1, e1, f1 = jax.lax.sort((r, -s, e, f), num_keys=3)
+        first = jnp.concatenate([jnp.ones((1,), bool), r1[1:] != r1[:-1]])
+        s2 = jnp.where(first, -neg_s1, NEG)
+        r2 = jnp.where(first, r1, INVALID)
+        neg_s3, r3, e3, f3 = jax.lax.sort((-s2, r2, e1, f1), num_keys=2)
+        kk = min(k, int(s.shape[0]))
+        local_any = jnp.any(af)
+        # Merge across the db axis.
+        all_s = jax.lax.all_gather(-neg_s3[:kk], "d").reshape(-1)
+        all_r = jax.lax.all_gather(r3[:kk], "d").reshape(-1)
+        all_e = jax.lax.all_gather(e3[:kk], "d").reshape(-1)
+        all_f = jax.lax.all_gather(f3[:kk], "d").reshape(-1)
+        any_f = jax.lax.psum(local_any.astype(jnp.int32), "d")
+        # Second record-dedup (same record's entries can straddle shards).
+        mr1, mneg_s, me, mf = jax.lax.sort(
+            (all_r, -all_s, all_e, all_f), num_keys=3
+        )
+        mfirst = jnp.concatenate([jnp.ones((1,), bool), mr1[1:] != mr1[:-1]])
+        ms2 = jnp.where(mfirst, -mneg_s, NEG)
+        mr2 = jnp.where(mfirst, mr1, INVALID)
+        fneg_s, fr, fe, ff = jax.lax.sort((-ms2, mr2, me, mf), num_keys=2)
+        return -fneg_s[:kk], fr[:kk], fe[:kk], ff[:kk], any_f
+
+    return jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(P(), P(None, "d"), P(None, "d"), P(None, "d"), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
+    )(prof_stack, subjects, lengths, seq_ids, m_reals, group_of)
+
+
 class ShardedSearchEngine:
     """Database search over every device of a mesh.
 
@@ -567,6 +699,99 @@ class ShardedSearchEngine:
             scores, ids = scores[keep], ids[keep]
         stats.seconds += _time.perf_counter() - t0
         return host_topk(scores, ids, k)
+
+    def search_reduced(self, frames, group_of, k, local=True, stats=None):
+        """Translated / frame-fanout search over the mesh.
+
+        The sharded counterpart of ``SearchEngine.search_reduced``: this
+        engine must be built over the TRANSLATED entry DB; ``group_of``
+        maps entry id -> source record id (None = identity). Returns
+        ``(top_s, top_rec, top_entry, top_frame)`` with identical
+        semantics to the single-device method (locked in
+        tests/test_sharded.py), or ``None`` on an f32-window escape.
+        """
+        import time as _time
+
+        from ..ops.scoring import make_profile
+        from ..search.manager import F32_WINDOW, SearchStats
+
+        stats = stats if stats is not None else SearchStats()
+        if not frames or any(len(f) == 0 for f in frames):
+            raise ValueError("need at least one non-empty query frame")
+        t0 = _time.perf_counter()
+        dtype = jnp.float32 if self.params.dtype == "float32" else jnp.int32
+        track = dtype == jnp.float32
+        limit = F32_WINDOW if track else None
+        pspec = NamedSharding(self.mesh, P())
+
+        mq = max(len(f) + ((-len(f)) % 32) for f in frames)
+        profs = []
+        for f in frames:
+            prof = make_profile(f, self.matrix.padded())
+            pad_m = mq - len(f)
+            if pad_m:
+                prof = np.pad(prof, ((0, pad_m), (0, 0)), constant_values=-64)
+            profs.append(prof)
+        prof_stack = jax.device_put(
+            jnp.asarray(np.stack(profs), jnp.int32), pspec
+        )
+        m_reals = jax.device_put(
+            jnp.asarray([len(f) for f in frames], jnp.int32), pspec
+        )
+        if group_of is None:
+            group_of = np.arange(len(self.db), dtype=np.int32)
+        group_dev = jax.device_put(jnp.asarray(group_of, jnp.int32), pspec)
+
+        dev = self._device_groups()
+        cand_s, cand_r, cand_e, cand_f = [], [], [], []
+        overflowed = False
+        for n_pad, (codes_d, lens_d, ids_d, _) in dev.items():
+            top_s, top_r, top_e, top_f, any_f = sharded_reduced_sweep(
+                prof_stack, codes_d, lens_d, ids_d, m_reals, group_dev,
+                int(self.gap_q), int(self.gap_r),
+                mesh=self.mesh, k=k, n_frames=len(frames), local=local,
+                use_matmul=self.params.use_matmul, track_range=track,
+                dtype=dtype, kernel_impl=self._kernel_impl(), limit=limit,
+            )
+            fetched = np.asarray(
+                jnp.concatenate(
+                    [top_s, top_r, top_e, top_f,
+                     any_f.astype(jnp.int32).reshape(1)]
+                )
+            ).astype(np.int64)
+            if fetched[-1]:
+                overflowed = True
+                break
+            kk = (len(fetched) - 1) // 4
+            cand_s.append(fetched[:kk])
+            cand_r.append(fetched[kk : 2 * kk])
+            cand_e.append(fetched[2 * kk : 3 * kk])
+            cand_f.append(fetched[3 * kk : 4 * kk])
+        for f in frames:
+            stats.cells += len(f) * self.db.total_residues
+        stats.subjects += len(self.db)
+        stats.seconds += _time.perf_counter() - t0
+        if overflowed:
+            return None
+        s = np.concatenate(cand_s)
+        r = np.concatenate(cand_r)
+        e = np.concatenate(cand_e)
+        f = np.concatenate(cand_f)
+        keep = r != 2**31 - 1
+        s, r, e, f = s[keep], r[keep], e[keep], f[keep]
+        # Records can appear in several length-bucket shape groups: final
+        # host dedup (best score, lowest entry) then (score desc, rec asc).
+        order = np.lexsort((e, -s, r))
+        s, r, e, f = s[order], r[order], e[order], f[order]
+        first = np.concatenate([[True], r[1:] != r[:-1]])
+        s, r, e, f = s[first], r[first], e[first], f[first]
+        order = np.lexsort((r, -s))[:k]
+        return (
+            s[order],
+            r[order].astype(np.int32),
+            e[order].astype(np.int32),
+            f[order].astype(np.int32),
+        )
 
     def _device_groups(self):
         """Device-resident stacked plan groups {n_pad: (codes, lens, ids, ids_np)}."""

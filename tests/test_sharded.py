@@ -168,3 +168,39 @@ def test_sharded_search_many_k_exceeds_db():
     for (ws, wi), (gs, gi) in zip(want, got):
         np.testing.assert_array_equal(ws, gs)
         np.testing.assert_array_equal(wi, gi)
+
+
+def test_sharded_search_reduced_matches_single_device():
+    """Sharded translated/frame-fanout search == single-device (r2)."""
+    import numpy as np
+
+    from libssa_tpu import alphabet
+    from libssa_tpu.constants import SymType
+    from libssa_tpu.io.db import SequenceDB
+
+    rng = np.random.default_rng(23)
+    nt_seqs = [
+        rng.integers(0, 4, int(n)).astype(np.uint8)
+        for n in rng.integers(12, 120, size=25)
+    ]
+    ntdb = SequenceDB.from_sequences(
+        [f"nt{i}" for i in range(len(nt_seqs))], nt_seqs, SymType.NUCLEOTIDE
+    )
+    tdb, orig, labels = ntdb.translated(1)
+    frames = [rng.integers(0, 20, int(n)).astype(np.uint8) for n in (14, 21)]
+    params = SearchParams(batch_size=16)
+    single = SearchEngine(tdb, B62, 10, 1, params)
+    want = single.search_reduced(frames, orig, 6, True)
+    for D in (2, 8):
+        sharded = ShardedSearchEngine(tdb, B62, 10, 1, make_db_mesh(D), params)
+        got = sharded.search_reduced(frames, orig, 6, True)
+        assert got is not None and want is not None
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(a, b)
+    # identity grouping (plain multi-frame query) also agrees
+    want2 = single.search_reduced(frames, None, 6, True)
+    got2 = ShardedSearchEngine(
+        tdb, B62, 10, 1, make_db_mesh(4), params
+    ).search_reduced(frames, None, 6, True)
+    for a, b in zip(got2, want2):
+        np.testing.assert_array_equal(a, b)
