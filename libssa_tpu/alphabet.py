@@ -163,14 +163,19 @@ def translate(codes: np.ndarray, gencode: int = 1) -> np.ndarray:
     return out
 
 
-def _segment_within(counts: np.ndarray) -> np.ndarray:
-    """Concatenated per-segment ``arange`` (0..c_i-1 for each count c_i)."""
-    counts = np.asarray(counts, np.int64)
+def _segment_within(counts: np.ndarray, dtype=np.int64) -> np.ndarray:
+    """Concatenated per-segment ``arange`` (0..c_i-1 for each count c_i).
+
+    ``dtype`` lets large-DB callers use int32 indices — on hosts with slow
+    first-touch page faults (util/hostmem.py) halving index bytes halves
+    the dominant cost of the whole expansion.
+    """
+    counts = np.asarray(counts, dtype)
     total = int(counts.sum())
     if total == 0:
-        return np.zeros(0, np.int64)
-    starts = np.cumsum(counts) - counts
-    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        return np.zeros(0, dtype)
+    starts = np.cumsum(counts, dtype=dtype) - counts
+    return np.arange(total, dtype=dtype) - np.repeat(starts, counts)
 
 
 def translate_packed_six_frames(
@@ -192,8 +197,13 @@ def translate_packed_six_frames(
     ``frame_idx`` indexes ``("+0","+1","+2","-0","-1","-2")``.
     """
     table = genetic_code_table(gencode)
-    offsets = np.asarray(offsets, np.int64)
-    lengths = np.asarray(lengths, np.int64)
+    # int32 indices when the flat DB fits (always, for int32-indexable
+    # DBs < 2**31 residues): on hosts with slow first-touch page faults
+    # (util/hostmem.py) the expansion cost is dominated by index-array
+    # bytes, so this halves it.
+    idt = np.int32 if len(codes) < 2**31 - 4 else np.int64
+    offsets = np.asarray(offsets, idt)
+    lengths = np.asarray(lengths, idt)
     R = len(lengths)
     tcag = _NT_TO_TCAG[codes]
 
@@ -201,9 +211,11 @@ def translate_packed_six_frames(
     # each record (index trick: o_i + L_i - 1 - j).
     comp = _NT_COMPLEMENT[codes]
     if len(codes):
-        within = _segment_within(lengths)
-        rev_idx = np.repeat(offsets + lengths - 1, lengths) - within
+        within = _segment_within(lengths, idt)
+        rev_idx = np.repeat(offsets + lengths - 1, lengths)
+        np.subtract(rev_idx, within, out=rev_idx)
         rc_tcag = _NT_TO_TCAG[comp[rev_idx]]
+        del within, rev_idx, comp
     else:
         rc_tcag = tcag
 
@@ -219,13 +231,24 @@ def translate_packed_six_frames(
         K[c] = k
         combo_off[c] = np.cumsum(k) - k
         combo_bases[c] = base
-        w = _segment_within(k)
-        pos = np.repeat(offsets + f, k) + 3 * w
-        i0, i1, i2 = src[pos], src[pos + 1], src[pos + 2]
+        pos = _segment_within(k, idt)
+        np.multiply(pos, 3, out=pos)
+        pos += np.repeat(offsets + f, k)
+        i0 = src[pos]
+        pos += 1
+        i1 = src[pos]
+        pos += 1
+        i2 = src[pos]
+        del pos
         amb = (i0 < 0) | (i1 < 0) | (i2 < 0)
-        codons = np.where(amb, 0, i0 * 16 + i1 * 4 + i2)
+        codons = i0.astype(np.int16)
+        np.multiply(codons, 16, out=codons)
+        codons += i1.astype(np.int16) * 4
+        codons += i2
+        codons[amb] = 0
         aa = table[codons]
         aa[amb] = AA_X
+        del i0, i1, i2, codons, amb
         combo_flat.append(aa)
         base += len(aa)
     F = np.concatenate(combo_flat) if combo_flat else np.zeros(0, np.uint8)
@@ -241,8 +264,8 @@ def translate_packed_six_frames(
         combo_bases[combo_of_entry]
         + combo_off[combo_of_entry, rec_of_entry]
     )
-    w = _segment_within(entry_k)
-    gather = np.repeat(src_start, entry_k) + w
+    gather = _segment_within(entry_k, idt)
+    gather += np.repeat(src_start.astype(idt), entry_k)
     aa_flat = F[gather]
     return (
         aa_flat,

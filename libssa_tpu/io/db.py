@@ -53,6 +53,9 @@ class SequenceDB:
         headers: list[str],
         symtype: SymType,
     ):
+        from ..util.hostmem import retain_large_allocations
+
+        retain_large_allocations()  # big packed arrays; see util/hostmem.py
         self.codes = np.ascontiguousarray(codes, dtype=np.uint8)
         self.offsets = np.ascontiguousarray(offsets, dtype=np.int64)
         self.lengths = np.ascontiguousarray(lengths, dtype=np.int32)

@@ -113,9 +113,11 @@ class SearchEngine:
         params: SearchParams | None = None,
     ):
         from ..oracle import gap_qr
+        from ..util.hostmem import retain_large_allocations
         from ..util.jaxcache import enable_compilation_cache
 
         enable_compilation_cache()
+        retain_large_allocations()
         self.db = db
         self.matrix = matrix
         self.padded_matrix = matrix.padded()
