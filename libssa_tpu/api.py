@@ -127,6 +127,7 @@ class SSAContext:
         self.gap_extend: int = 1
         self.db: SequenceDB | None = None
         self.params = SearchParams()
+        self.device_count: int | None = None  # >1: sharded mesh engine
         self._engine: SearchEngine | None = None
         self._translated_db = None  # (SequenceDB, orig_ids, frame labels)
 
@@ -218,6 +219,20 @@ class SSAContext:
         self.params.batch_size = int(n)
         self._engine = None
 
+    def set_device_count(self, n: int | None):
+        """Run searches over an ``n``-device mesh (DB-sharded, SURVEY §2 P5).
+
+        ``None`` or 1 = single-device engine (default). Any other value
+        builds a ``ShardedSearchEngine`` over the first ``n`` devices
+        (``0``/negative = all devices): the DB shards across the mesh,
+        per-shard top-k lists merge with an ``all_gather`` collective, and
+        results are bit-identical to the single-device engine. The
+        reference's closest knob is ``set_thread_count``; this is the TPU
+        analogue that actually scales.
+        """
+        self.device_count = None if n in (None, 1) else int(n)
+        self._engine = None
+
     def set_thread_count(self, n: int):
         """Reference parity no-op: TPU parallelism is device-level.
 
@@ -292,9 +307,31 @@ class SSAContext:
             raise RuntimeError("init_score_matrix() must be called before searching")
         if self._engine is None:
             search_db, _, _ = self._search_db()
-            self._engine = SearchEngine(
-                search_db, self.matrix, self.gap_open, self.gap_extend, self.params
-            )
+            if self.device_count is not None:
+                import jax
+
+                from .parallel.sharded import (
+                    ShardedSearchEngine,
+                    make_db_mesh,
+                )
+
+                n = self.device_count
+                avail = len(jax.devices())
+                if n <= 0:
+                    n = avail
+                if n > avail:
+                    raise RuntimeError(
+                        f"set_device_count({n}): only {avail} devices visible"
+                    )
+                self._engine = ShardedSearchEngine(
+                    search_db, self.matrix, self.gap_open, self.gap_extend,
+                    make_db_mesh(n), self.params,
+                )
+            else:
+                self._engine = SearchEngine(
+                    search_db, self.matrix, self.gap_open, self.gap_extend,
+                    self.params,
+                )
         return self._engine
 
     def _align(
@@ -607,6 +644,7 @@ init_sequence_fasta = _default.init_sequence_fasta
 init_sequences_fasta = _default.init_sequences_fasta
 align_many = _default.align_many
 set_chunk_size = _default.set_chunk_size
+set_device_count = _default.set_device_count
 set_thread_count = _default.set_thread_count
 set_output_mode = _default.set_output_mode
 sw_align = _default.sw_align

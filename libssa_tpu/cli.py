@@ -39,6 +39,9 @@ def _add_scoring_args(p: argparse.ArgumentParser):
     p.add_argument("--q-gencode", type=int, default=1)
     p.add_argument("--d-gencode", type=int, default=1)
     p.add_argument("--algo", choices=["sw", "nw"], default="sw")
+    p.add_argument("--devices", type=int, default=None,
+                   help="shard the DB over an N-device mesh (0 = all); "
+                        "results identical to single-device")
 
 
 def _symtype(s):
@@ -102,6 +105,8 @@ def cmd_search(args) -> int:
     from .util.profiling import trace
 
     ctx = _configure(args)
+    if getattr(args, "devices", None) is not None:
+        ctx.set_device_count(args.devices)
     ctx.init_db_fasta(args.db)
     if args.chunk_size:
         ctx.set_chunk_size(args.chunk_size)

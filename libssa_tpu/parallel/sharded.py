@@ -793,6 +793,21 @@ class ShardedSearchEngine:
             f[order].astype(np.int32),
         )
 
+    def score_all(self, q_codes, local=True, bit_width=None, stats=None):
+        """Full per-subject scores — delegated to the single-device
+        fallback engine (used only by rare exact-fallback paths; the
+        sharded engine's purpose is top-k, where scores never leave the
+        mesh)."""
+        from ..constants import BitWidth
+
+        return self._fallback.score_all(
+            q_codes, local, bit_width or BitWidth.EXACT, stats
+        )
+
+    def score_all_many(self, queries, local=True, stats=None):
+        """Full score matrix — single-device fallback (see score_all)."""
+        return self._fallback.score_all_many(queries, local, stats)
+
     def _device_groups(self):
         """Device-resident stacked plan groups {n_pad: (codes, lens, ids, ids_np)}."""
         if self._device_plan is not None:

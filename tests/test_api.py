@@ -361,3 +361,59 @@ def test_gap_convention_knob(tmp_path):
     assert results[True] != results[False] or all(
         s == results[True][i][1] for i, (_, s) in enumerate(results[False])
     )
+
+
+def test_set_device_count_sharded_api(tmp_path):
+    """API-level mesh search == single-device, SW/NW/translated (r2)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device mesh")
+    rng = __import__("numpy").random.default_rng(44)
+    import numpy as np
+
+    seqs = [
+        alphabet.decode(rng.integers(0, 20, int(n)).astype(np.uint8),
+                        SymType.AMINOACID)
+        for n in rng.integers(10, 60, size=30)
+    ]
+    db_path = tmp_path / "p.fas"
+    fasta.write_fasta(str(db_path), [(f"s{i}", s) for i, s in enumerate(seqs)])
+
+    def run(devices):
+        c = SSAContext()
+        c.init_symbol_translation(SymType.AMINOACID)
+        c.init_score_matrix("BLOSUM62")
+        c.init_gap_penalties(10, 1)
+        if devices:
+            c.set_device_count(devices)
+        c.init_db_fasta(str(db_path))
+        q = c.init_sequence_fasta(
+            alphabet.decode(rng0.integers(0, 20, 23).astype(np.uint8),
+                            SymType.AMINOACID))
+        out = {}
+        out["sw"] = [(h.seq_id, h.score) for h in c.sw_align(q, 5)]
+        out["nw"] = [(h.seq_id, h.score) for h in c.nw_align(q, 5)]
+        return out
+
+    rng0 = __import__("numpy").random.default_rng(45)
+    single = run(None)
+    rng0 = __import__("numpy").random.default_rng(45)
+    sharded = run(2)
+    assert single == sharded
+
+    # translated (nt query vs protein DB) through the sharded engine
+    def run_tr(devices):
+        c = SSAContext()
+        c.init_symbol_translation(
+            SymType.NUCLEOTIDE, Strand.BOTH, db_symtype=SymType.AMINOACID
+        )
+        c.init_score_matrix("BLOSUM62")
+        c.init_gap_penalties(10, 1)
+        if devices:
+            c.set_device_count(devices)
+        c.init_db_fasta(str(db_path))
+        q = c.init_sequence_fasta("ATGGCTGCTTGGAAACAAACCGAAATG")
+        return [(h.seq_id, h.score, h.strand) for h in c.sw_align(q, 4)]
+
+    assert run_tr(None) == run_tr(2)
