@@ -197,11 +197,14 @@ def translate_packed_six_frames(
     ``frame_idx`` indexes ``("+0","+1","+2","-0","-1","-2")``.
     """
     table = genetic_code_table(gencode)
-    # int32 indices when the flat DB fits (always, for int32-indexable
-    # DBs < 2**31 residues): on hosts with slow first-touch page faults
+    # int32 indices when the EXPANDED six-frame array fits: the final
+    # gather indexes F, whose length is ~2x len(codes) (six frames of
+    # ~len/3 aa each), so the gate must cover 2*len(codes), not
+    # len(codes) — otherwise DBs between ~2**30 and ~2**31 nt wrap
+    # silently. On hosts with slow first-touch page faults
     # (util/hostmem.py) the expansion cost is dominated by index-array
-    # bytes, so this halves it.
-    idt = np.int32 if len(codes) < 2**31 - 4 else np.int64
+    # bytes, so int32 halves it when safe.
+    idt = np.int32 if 2 * len(codes) + 4 < 2**31 else np.int64
     offsets = np.asarray(offsets, idt)
     lengths = np.asarray(lengths, idt)
     R = len(lengths)

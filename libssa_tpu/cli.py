@@ -69,6 +69,9 @@ def _configure(args):
         args.gap_open, args.gap_extend,
         first_residue_opens=not getattr(args, "gap_open_only", False),
     )
+    # Every subcommand that takes --devices honors it (pair included).
+    if getattr(args, "devices", None) is not None:
+        ctx.set_device_count(args.devices)
     return ctx
 
 
@@ -105,8 +108,6 @@ def cmd_search(args) -> int:
     from .util.profiling import trace
 
     ctx = _configure(args)
-    if getattr(args, "devices", None) is not None:
-        ctx.set_device_count(args.devices)
     ctx.init_db_fasta(args.db)
     if args.chunk_size:
         ctx.set_chunk_size(args.chunk_size)

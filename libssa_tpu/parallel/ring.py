@@ -147,7 +147,8 @@ def ring_pair_score(
     length). SW is exact under PAD padding without it.
     """
     m = profile.shape[0]
-    assert m % RB == 0, "pad the profile to a multiple of RB"
+    if m % RB != 0:  # survives python -O, unlike assert
+        raise ValueError(f"profile height {m} must be a multiple of RB={RB}")
     Rblocks = m // RB
     D = mesh.devices.size
     mr = m_real if m_real is not None else m

@@ -462,7 +462,11 @@ class ShardedSearchEngine:
             gap_open, gap_extend, self.params.first_residue_opens
         )
         self._fallback = SearchEngine(db, matrix, gap_open, gap_extend, self.params)
+        # Plan caches key on the param values they derive from, so a user
+        # mutating engine.params in place gets a fresh plan, not stale
+        # device stacks (VERDICT r2 weak #7).
         self._plan = None
+        self._plan_key = None
         self._device_plan = None  # device-resident stacked plan groups
         # Failure handling (SURVEY.md §5): sharded search is embarrassingly
         # restartable per chunk — a chunk whose SPMD step fails (device loss,
@@ -489,8 +493,10 @@ class ShardedSearchEngine:
         n_pad per step (max over shards, bucket-rounded) so the SPMD program
         keeps one static shape per bucket.
         """
-        if self._plan is not None:
+        key = (self.params.batch_size, self.params.length_multiple)
+        if self._plan is not None and self._plan_key == key:
             return self._plan
+        self._device_plan = None  # derived from the plan: invalidate together
         D = self.n_devices
         p = self.params
         # Cap per-device lanes: plan steps share one padded length (max
@@ -527,6 +533,7 @@ class ShardedSearchEngine:
                 ids[sl] = shard_ids
             plan.append((codes, lengths, ids))
         self._plan = plan
+        self._plan_key = key
         return plan
 
     def search(self, q_codes, k, local=True, bit_width=None, stats=None):

@@ -136,6 +136,12 @@ class SearchEngine:
         the serving tunnel a per-search upload costs tens of seconds
         (measured 26 s for a 500k-seq DB), while HBM holds them trivially.
         Subset databases (ladder rescores) are tiny and not cached.
+
+        The cache keys on the VALUES that shape the stacks — (batch size,
+        length multiple) — so mutating ``engine.params`` in place between
+        searches is safe: a changed value misses the cache and re-packs.
+        No other param affects stack contents. ``SequenceDB`` is
+        immutable after construction, so ``db is self.db`` suffices there.
         """
         p = self.params
 

@@ -24,6 +24,13 @@ def retain_large_allocations() -> None:
     if _done:
         return
     _done = True
+    import os
+
+    # Embedders can keep default glibc behavior: the thresholds are
+    # process-wide and permanently disable heap trimming for the whole
+    # host program, which inflates resident memory outside this library.
+    if os.environ.get("LIBSSA_NO_MALLOC_TUNING"):
+        return
     try:
         import ctypes
 

@@ -63,3 +63,18 @@ def test_error_exit_code(tmp_path, capsys):
     ])
     assert rc == 2
     assert "error:" in capsys.readouterr().err
+
+
+def test_pair_devices_wired(monkeypatch, capsys):
+    """--devices is honored by every subcommand, not just search."""
+    from libssa_tpu import api
+
+    calls = []
+    monkeypatch.setattr(
+        api.SSAContext, "set_device_count", lambda self, n: calls.append(n)
+    )
+    rc = main([
+        "pair", "--query", "MKVLAAGW", "--subject", "MKVLAAGW",
+        "--devices", "1",
+    ])
+    assert rc == 0 and calls == [1]

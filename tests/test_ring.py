@@ -62,3 +62,15 @@ def test_ring_nw_arbitrary_lengths(mesh, m, n):
     s = rng.integers(0, 20, n).astype(np.uint8)
     got = ring_score(q, s, B62.padded(), 12, 2, local=False, mesh=mesh, RB=32)
     assert got == oracle.nw_score(q, s, B62.scores, 12, 2)
+
+
+def test_ring_profile_multiple_validation(mesh):
+    """m % RB != 0 must raise (not assert: survives python -O)."""
+    import jax.numpy as jnp
+
+    from libssa_tpu.parallel.ring import ring_pair_score
+
+    prof = jnp.zeros((33, 32), jnp.int32)
+    subj = jnp.zeros((mesh.devices.size * 8,), jnp.int32)
+    with pytest.raises(ValueError, match="multiple of RB"):
+        ring_pair_score(prof, subj, 12, 1, mesh=mesh, RB=32)
