@@ -271,15 +271,10 @@ def ring_score(
     s_pad = np.full((W * D,), PADDED_ALPHABET - 1, np.int64)
     s_pad[:n] = np.asarray(s_codes, np.int64)
 
-    import jax as _jax
-    from jax.sharding import NamedSharding
+    from .sharded import put_global
 
-    subj = _jax.device_put(
-        jnp.asarray(s_pad, jnp.int32), NamedSharding(mesh, P("d"))
-    )
-    profile = _jax.device_put(
-        jnp.asarray(prof, jnp.int32), NamedSharding(mesh, P())
-    )
+    subj = put_global(s_pad, mesh, P("d"), np.int32)
+    profile = put_global(prof, mesh, P(), np.int32)
     return int(
         ring_pair_score(
             profile, subj, Q, R_,
