@@ -230,49 +230,72 @@ def test_search_fast_path_matches_ladder(small_db):
     np.testing.assert_array_equal(i_fast, i_lad)
 
 
-def test_device_resident_ladder_path(small_db, monkeypatch):
-    """Force the big-DB device-resident ladder on a small DB: results must
-    equal the host ladder, including rescore bookkeeping."""
-    from libssa_tpu.search import manager as M
+def test_device_resident_ladder_path(small_db):
+    """The fused device ladder (r3: every narrow-width search takes it)
+    must equal the independent score_all + host_topk reference, with
+    faithful rescore bookkeeping AND the pinned round-trip counts."""
+    from libssa_tpu.ops.topk import host_topk
 
     db, seqs = small_db
     rng = np.random.default_rng(17)
     q = rng.integers(0, 20, 40).astype(np.uint8)
-    # plant a homolog so the 8-bit rung genuinely overflows
     eng_ref = SearchEngine(db, B62, 11, 1, SearchParams(batch_size=16))
-    want_s, want_i = eng_ref.search(q, 7, bit_width=BitWidth.BIT8)
+    want_s, want_i = host_topk(
+        eng_ref.score_all(q, True, BitWidth.BIT8), np.arange(len(db)), 7
+    )
 
-    monkeypatch.setattr(M, "DEVICE_LADDER_MIN_SUBJECTS", 1)
     eng_dev = SearchEngine(db, B62, 11, 1, SearchParams(batch_size=16))
     stats = SearchStats()
     got_s, got_i = eng_dev.search(q, 7, bit_width=BitWidth.BIT8, stats=stats)
     np.testing.assert_array_equal(want_s, got_s)
     np.testing.assert_array_equal(want_i, got_i)
 
-    # with an overflowing homolog DB
+    # with an overflowing homolog DB: rescore rung + one extra round trip
     db2, seqs2 = _db(30, seed=3, minlen=70, maxlen=90)
     q2 = seqs2[4].copy()
     ref2 = SearchEngine(db2, B62, 10, 1, SearchParams(batch_size=8))
-    w_s, w_i = ref2.search(q2, 5, bit_width=BitWidth.BIT8)
+    w_s, w_i = host_topk(
+        ref2.score_all(q2, True, BitWidth.BIT8), np.arange(len(db2)), 5
+    )
     dev2 = SearchEngine(db2, B62, 10, 1, SearchParams(batch_size=8))
     st2 = SearchStats()
     g_s, g_i = dev2.search(q2, 5, bit_width=BitWidth.BIT8, stats=st2)
     np.testing.assert_array_equal(w_s, g_s)
     np.testing.assert_array_equal(w_i, g_i)
     assert st2.rescored, "overflowing homolog must hit the rescore rung"
+    assert st2.dispatches == 2 and st2.fetches == 2  # scatter + re-topk
 
 
-def test_device_resident_ladder_path_nw(small_db, monkeypatch):
-    """NW rides the device-resident ladder too (r2, traced m_real)."""
-    from libssa_tpu.search import manager as M
+def test_fused_ladder_round_trip_counts(small_db):
+    """A no-overflow narrow-width search is EXACTLY one dispatch + one
+    fetch on the manager's own call sites (VERDICT r2 next-round #3 'Done'
+    criterion: count jit calls, not wall time — the tunnel makes time
+    flaky)."""
+    db, seqs = small_db
+    rng = np.random.default_rng(18)
+    # Short random query: nothing in the window overflows BIT16.
+    q = rng.integers(0, 20, 24).astype(np.uint8)
+    eng = SearchEngine(db, B62, 11, 1, SearchParams(batch_size=16))
+    stats = SearchStats()
+    s, i = eng.search(q, 5, bit_width=BitWidth.BIT16, stats=stats)
+    assert not stats.rescored
+    assert stats.dispatches == 1, stats
+    assert stats.fetches == 1, stats
+    assert len(s) == 5 and (i >= 0).all()
+
+
+def test_device_resident_ladder_path_nw(small_db):
+    """NW rides the fused device ladder too (traced m_real)."""
+    from libssa_tpu.ops.topk import host_topk
 
     db, seqs = small_db
     rng = np.random.default_rng(19)
     q = rng.integers(0, 20, 40).astype(np.uint8)
     eng_ref = SearchEngine(db, B62, 11, 1, SearchParams(batch_size=16))
-    want_s, want_i = eng_ref.search(q, 7, local=False, bit_width=BitWidth.BIT16)
+    want_s, want_i = host_topk(
+        eng_ref.score_all(q, False, BitWidth.BIT16), np.arange(len(db)), 7
+    )
 
-    monkeypatch.setattr(M, "DEVICE_LADDER_MIN_SUBJECTS", 1)
     eng_dev = SearchEngine(db, B62, 11, 1, SearchParams(batch_size=16))
     stats = SearchStats()
     got_s, got_i = eng_dev.search(
@@ -281,7 +304,9 @@ def test_device_resident_ladder_path_nw(small_db, monkeypatch):
     np.testing.assert_array_equal(want_s, got_s)
     np.testing.assert_array_equal(want_i, got_i)
     # NW scores leave the 8-bit window fast: BIT8 must still be exact
-    w8 = eng_ref.search(q, 7, local=False, bit_width=BitWidth.BIT8)
+    w8 = host_topk(
+        eng_ref.score_all(q, False, BitWidth.BIT8), np.arange(len(db)), 7
+    )
     g8 = eng_dev.search(q, 7, local=False, bit_width=BitWidth.BIT8)
     np.testing.assert_array_equal(w8[0], g8[0])
     np.testing.assert_array_equal(w8[1], g8[1])
