@@ -224,23 +224,16 @@ def pair_scores_batch(
 
 
 def pair_score(q_codes, s_codes, matrix_padded, gap_open, gap_extend, local=True):
-    """Host convenience: score one pair with the wavefront kernel."""
-    from ..oracle import gap_qr
-    from .scoring import make_profile
+    """Host convenience: exact score of one pair.
 
-    Q, R = gap_qr(gap_open, gap_extend)
-    if len(q_codes) == 0 or len(s_codes) == 0:
-        if local:
-            return 0
-        lm = max(len(q_codes), len(s_codes))
-        return 0 if lm == 0 else -(Q + (lm - 1) * R)
-    profile = make_profile(np.asarray(q_codes), matrix_padded)
-    return int(
-        wavefront_pair_score(
-            jnp.asarray(profile, jnp.int32),
-            jnp.asarray(np.asarray(s_codes), jnp.int32),
-            jnp.int32(Q),
-            jnp.int32(R),
-            local=local,
-        )
+    Round 3: delegates to ``ops.longpair`` — the skewed-band Pallas
+    kernel on TPU, the row-sweep scan elsewhere — both faster than the
+    anti-diagonal formulation this module keeps for reference
+    (docs/PERF_NOTES.md r3 has the measured history).
+    """
+    from .longpair import longpair_score
+
+    return longpair_score(
+        np.asarray(q_codes), np.asarray(s_codes), matrix_padded,
+        gap_open, gap_extend, local=local,
     )

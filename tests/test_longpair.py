@@ -1,0 +1,116 @@
+"""Long-pair row-sweep scorer (ops/longpair.py + longpair_pallas.py).
+
+The single-enormous-pair path (VERDICT r2 missing #3): the XLA scan is
+the correctness anchor / CPU fallback; the Pallas kernel runs the same
+recurrence VMEM-resident (tested here in interpret mode; the TPU lane in
+test_tpu_hw.py covers compiled execution). Both must be bit-exact vs the
+int64 oracle for SW and NW under both gap conventions.
+"""
+import numpy as np
+import pytest
+
+from libssa_tpu import matrices, oracle
+from libssa_tpu.ops.longpair import (
+    longpair_score,
+    score_bound,
+    subject_profile,
+)
+
+B62 = matrices.builtin("BLOSUM62")
+
+
+@pytest.mark.parametrize("go,ge", [(10, 1), (5, 2), (20, 1)])
+@pytest.mark.parametrize("local", [True, False], ids=["sw", "nw"])
+def test_scan_matches_oracle(go, ge, local):
+    rng = np.random.default_rng(go * 100 + ge + local)
+    for m, n in [(3, 5), (60, 40), (257, 513), (100, 1025)]:
+        q = rng.integers(0, 20, m).astype(np.uint8)
+        s = rng.integers(0, 20, n).astype(np.uint8)
+        want = (oracle.sw_score if local else oracle.nw_score)(
+            q, s, B62.scores, go, ge
+        )
+        got = longpair_score(
+            q, s, B62.padded(), go, ge, local=local, kernel="scan"
+        )
+        assert got == want, (m, n)
+
+
+def test_gap_convention_knob():
+    rng = np.random.default_rng(7)
+    q = rng.integers(0, 20, 50).astype(np.uint8)
+    s = rng.integers(0, 20, 70).astype(np.uint8)
+    for fro in (True, False):
+        want = oracle.sw_score(q, s, B62.scores, 10, 1, fro)
+        got = longpair_score(
+            q, s, B62.padded(), 10, 1, local=True,
+            first_residue_opens=fro, kernel="scan",
+        )
+        assert got == want
+
+
+def test_empty_inputs():
+    q = np.zeros(0, np.uint8)
+    s = np.arange(5, dtype=np.uint8) % 4
+    assert longpair_score(q, s, B62.padded(), 10, 1, True, kernel="scan") == 0
+    nw = longpair_score(q, s, B62.padded(), 10, 1, False, kernel="scan")
+    assert nw == -(11 + 4 * 1)  # Q + (n-1) R
+
+
+def test_int32_escape_path():
+    """Scores past the f32 window run the int32 scan — still exact."""
+    import jax.numpy as jnp
+
+    from libssa_tpu.ops.longpair import longpair_score_scan
+
+    rng = np.random.default_rng(9)
+    q = rng.integers(0, 20, 80).astype(np.uint8)
+    s = rng.integers(0, 20, 100).astype(np.uint8)
+    P = subject_profile(s, B62.padded())
+    P = np.pad(P, ((0, 0), (0, 412)), constant_values=-64)
+    qi = np.pad(q.astype(np.int32), (0, 176), constant_values=31)
+    got = int(
+        longpair_score_scan(
+            jnp.asarray(P, jnp.int32), jnp.asarray(qi), 11, 1, 80, 100,
+            local=True, dtype_name="int32",
+        )
+    )
+    assert got == oracle.sw_score(q, s, B62.scores, 10, 1)
+
+
+def test_score_bound_monotone():
+    b = score_bound(100, 200, B62.scores, 11, 1)
+    assert b >= 100 * 11  # min-side * max |sub|
+    assert score_bound(10**6, 10**6, B62.scores, 11, 1) >= 2**23
+
+
+@pytest.mark.parametrize("local", [True, False], ids=["sw", "nw"])
+def test_pallas_interpret_matches_oracle(local):
+    """The Pallas kernel (interpret mode on CPU) is bit-exact, including
+    the cross-span combine (pairs >> one 128-lane span)."""
+    from libssa_tpu.ops.longpair_pallas import longpair_score_pallas
+
+    rng = np.random.default_rng(31 + local)
+    for m, n, go, ge in [(40, 60, 10, 1), (9, 300, 5, 2), (130, 1100, 20, 1)]:
+        q = rng.integers(0, 20, m).astype(np.uint8)
+        s = rng.integers(0, 20, n).astype(np.uint8)
+        Q, R = oracle.gap_qr(go, ge)
+        want = (oracle.sw_score if local else oracle.nw_score)(
+            q, s, B62.scores, go, ge
+        )
+        got = longpair_score_pallas(
+            q, s, B62.padded(), Q, R, local=local, interpret=True
+        )
+        assert got == want, (m, n, go, ge)
+
+
+def test_pallas_interpret_multiblock():
+    """Query longer than one row block exercises grid streaming."""
+    from libssa_tpu.ops.longpair_pallas import longpair_score_pallas
+
+    rng = np.random.default_rng(77)
+    q = rng.integers(0, 20, 600).astype(np.uint8)
+    s = rng.integers(0, 20, 500).astype(np.uint8)
+    want = oracle.sw_score(q, s, B62.scores, 10, 1)
+    got = longpair_score_pallas(q, s, B62.padded(), 11, 1, local=True,
+                                interpret=True)
+    assert got == want
