@@ -41,7 +41,7 @@ def main():
         pq = np.ascontiguousarray(
             qprof.reshape(B, 8, 32).transpose(2, 1, 0)
         ).astype(np.float32)
-        s_full = np.full((T + 1,), PAD, np.int32)
+        s_full = np.full((T,), PAD, np.int32)
         s_full[:N] = s
         run = lp._build(m_pad, T, 11, 1, True, False)
 
@@ -54,7 +54,8 @@ def main():
                 return jnp.stack(outs)
             return f
 
-        s_j, pq_j = jnp.asarray(s_full), jnp.asarray(pq)
+        s_j = jnp.asarray(s_full)
+        pq_j = jnp.asarray(pq).astype(jnp.bfloat16)
         f1, f5 = many(1), many(5)
         np.asarray(f1(s_j, pq_j)); np.asarray(f5(s_j, pq_j))  # compile
         t1 = min(
