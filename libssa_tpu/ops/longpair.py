@@ -191,8 +191,19 @@ def longpair_score(
     exact_f32 = score_bound(m, n, matrix_padded, Q, R) < 2**24
 
     if use_pallas and exact_f32:
-        from .longpair_pallas import longpair_score_pallas
+        from .longpair_pallas import M_PAD_MAX, longpair_score_pallas
 
+        if m > M_PAD_MAX:
+            # Query too tall for one kernel's VMEM planes: chained
+            # banded tiles (same kernel body, one dispatch).
+            from .tiled_pair import tiled_pair_score
+
+            return int(
+                tiled_pair_score(
+                    np.asarray(q_codes), np.asarray(s_codes),
+                    matrix_padded, Q, R, local=local,
+                )
+            )
         return int(
             longpair_score_pallas(
                 np.asarray(q_codes), np.asarray(s_codes), matrix_padded,

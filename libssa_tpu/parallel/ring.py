@@ -238,6 +238,182 @@ def ring_pair_score(
     return out.astype(jnp.int32)
 
 
+SENTINEL = -(2**30)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "gap_q", "gap_r", "mesh", "RB", "local", "m_real", "n_real",
+        "interpret",
+    ),
+)
+def ring_pair_score_banded(
+    pq_blocks: jax.Array,  # (Rblocks, 32, 8, B) bf16 planes, replicated
+    subject: jax.Array,  # (D*W,) int32, PAD-padded, sharded over 'd'
+    *,
+    gap_q: int,
+    gap_r: int,
+    mesh: Mesh,
+    RB: int,
+    local: bool = True,
+    m_real: int | None = None,
+    n_real: int | None = None,
+    interpret: bool = False,
+):
+    """Round 3: the ring's per-device tile sweep IS the banded Pallas
+    kernel (ops/ring_block_pallas.py — the same measured body as the
+    single-chip longpair kernel), per VERDICT r2 item 2. Orchestration
+    is unchanged from :func:`ring_pair_score`: subject column-sharded,
+    query in RB-row blocks, phase p = rb + d staircase, right-edge H/E
+    columns shipped to the next device by ``ppermute``. The corner each
+    tile needs (H[i0-1][c0-1]) is the PREVIOUS phase's inbox bottom-right
+    element ``rH[7, B-1]``, so no extra traffic.
+    """
+    from ..ops.ring_block_pallas import banded_tile, tile_shapes
+
+    Rblocks = pq_blocks.shape[0]
+    B = RB // 8
+    D = mesh.devices.size
+    mr = m_real if m_real is not None else Rblocks * RB
+    nr = n_real if n_real is not None else subject.shape[0]
+    Qf = jnp.asarray(gap_q, jnp.float32)
+    Rf = jnp.asarray(gap_r, jnp.float32)
+    cap_rb = (mr - 1) // RB
+    cap_row = (mr - 1) % RB
+
+    def device_fn(pq, s_shard):
+        d = jax.lax.axis_index("d")
+        W = s_shard.shape[0]
+        T, _B = tile_shapes(RB, W, interpret)
+        tile = banded_tile(
+            RB, W, int(gap_q), int(gap_r), local, interpret
+        )
+        PAD = PADDED_ALPHABET - 1
+        s_t = jnp.concatenate(
+            [s_shard.astype(jnp.int32), jnp.full((T - W,), PAD, jnp.int32)]
+        )
+        cols = d * W + 1 + jnp.arange(W, dtype=jnp.int32)  # global j of tile
+
+        # Row-0 formula top stream (corner-first) and F row.
+        if local:
+            topH_row0 = jnp.zeros((W,), jnp.float32)
+            corner_row0 = jnp.float32(0.0)
+        else:
+            topH_row0 = -(Qf + (cols.astype(jnp.float32) - 1.0) * Rf)
+            cw = (d * W).astype(jnp.float32)
+            corner_row0 = jnp.where(d * W == 0, 0.0, -(Qf + (cw - 1.0) * Rf))
+        negT = jnp.full((T - W,), NEG, jnp.float32)
+        topF_any = jnp.concatenate(
+            [jnp.full((W,), NEG, jnp.float32), negT]
+        )  # row 0 F boundary is -inf; deeper rows use the state below
+
+        inbox_H = jnp.zeros((8, B), jnp.float32)
+        inbox_E = jnp.full((8, B), NEG, jnp.float32)
+        corner_state = jnp.float32(0.0)
+        botH_prev = jnp.zeros((W,), jnp.float32)
+        botF_prev = jnp.full((W,), NEG, jnp.float32)
+        best = jnp.float32(0.0)
+        nw_score = NEG
+
+        perm = [(i, i + 1) for i in range(D - 1)]
+
+        for p in range(Rblocks + D - 1):
+            rb = jnp.clip(p - d, 0, Rblocks - 1)
+            active = (p - d >= 0) & (p - d <= Rblocks - 1)
+            i0 = rb * RB + 1
+            pq_r = jax.lax.dynamic_slice(
+                pq, (rb, 0, 0, 0), (1, PADDED_ALPHABET, 8, B)
+            )[0]
+
+            # Left boundary: device 0 uses the global column formulas.
+            rows = i0 + jnp.arange(RB, dtype=jnp.int32)
+            if local:
+                lH0 = jnp.zeros((B, 8), jnp.float32)
+                lD0 = jnp.zeros((1, B), jnp.float32)
+            else:
+                lH0 = _nw_col_boundary(rows, Qf, Rf).reshape(B, 8)
+                lD0 = _nw_col_boundary(
+                    rows.reshape(B, 8)[:, 0] - 1, Qf, Rf
+                ).reshape(1, B)
+            is0 = d == 0
+            lH = jnp.where(is0, lH0.T, inbox_H)
+            lE = jnp.where(
+                is0, jnp.full((8, B), NEG, jnp.float32), inbox_E
+            )
+            lD = jnp.where(
+                is0,
+                lD0,
+                jnp.concatenate(
+                    [jnp.zeros((1, 1), jnp.float32), inbox_H[7:8, :-1]],
+                    axis=1,
+                ),
+            )
+            # Corner H[i0-1][c0-1]: row-0 formula for rb==0, column
+            # formula for d==0, else last phase's inbox bottom-right.
+            if local:
+                corner = jnp.float32(0.0)
+            else:
+                corner = jnp.where(
+                    rb == 0,
+                    corner_row0,
+                    jnp.where(
+                        is0,
+                        _nw_col_boundary(i0 - 1, Qf, Rf),
+                        corner_state,
+                    ),
+                )
+            # Top streams: row-0 formulas for rb==0, else own bottom.
+            first_rb = rb == 0
+            topH_vals = jnp.where(first_rb, topH_row0, botH_prev)
+            topH_stream = jnp.concatenate(
+                [jnp.reshape(corner, (1,)), topH_vals, negT]
+            )
+            topF_stream = jnp.where(
+                first_rb,
+                topF_any,
+                jnp.concatenate([botF_prev, negT]),
+            )
+
+            in_tile = (rb == cap_rb) & (
+                (nr - 1 >= d * W) & (nr - 1 < (d + 1) * W)
+            )
+            cap_col = jnp.where(in_tile, (nr - 1) - d * W, SENTINEL)
+            acc, cap, rH, rE, bHf, bFf = tile(
+                s_t, topH_stream, topF_stream,
+                pq_r, lH, lE, lD,
+                jnp.asarray(cap_row, jnp.int32), cap_col,
+            )
+            if local:
+                best = jnp.where(
+                    active, jnp.maximum(best, jnp.max(acc)), best
+                )
+            else:
+                cap_val = jnp.take(cap[0], cap_row // 8)
+                nw_score = jnp.where(active & in_tile, cap_val, nw_score)
+            botH_prev = jnp.where(active, bHf, botH_prev)
+            botF_prev = jnp.where(active, bFf, botF_prev)
+            # Next phase's corner is this phase's inbox bottom-right.
+            corner_state = inbox_H[7, B - 1]
+            inbox_H = jax.lax.ppermute(rH, "d", perm)
+            inbox_E = jax.lax.ppermute(rE, "d", perm)
+
+        if local:
+            out = jax.lax.pmax(best, "d")
+        else:
+            out = jax.lax.pmax(nw_score, "d")
+        return out
+
+    out = jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(P(), P("d")),
+        out_specs=P(),
+        check_vma=False,
+    )(pq_blocks, subject)
+    return out.astype(jnp.int32)
+
+
 def ring_score(
     q_codes: np.ndarray,
     s_codes: np.ndarray,
@@ -247,8 +423,15 @@ def ring_score(
     local: bool = True,
     mesh: Mesh | None = None,
     RB: int = 64,
+    kernel: str = "auto",
+    interpret: bool = False,
 ):
-    """Host convenience: pad, shard, and score one pair over the mesh."""
+    """Host convenience: pad, shard, and score one pair over the mesh.
+
+    ``kernel``: 'banded' runs the per-device Pallas tile kernel
+    (ops/ring_block_pallas.py — the TPU path), 'scan' the lax.scan tile
+    sweep (CPU fallback / cross-check), 'auto' picks banded on TPU.
+    """
     from ..ops.scoring import make_profile
     from ..oracle import gap_qr
     from .sharded import make_db_mesh
@@ -263,6 +446,44 @@ def ring_score(
         lm = max(m, n)
         return 0 if lm == 0 else -(Q + (lm - 1) * R_)
 
+    if kernel == "auto":
+        from ..search.kernels import pallas_available
+
+        kernel = "banded" if pallas_available() else "scan"
+
+    from .sharded import put_global
+
+    if kernel == "banded":
+        PAD = PADDED_ALPHABET - 1
+        if not interpret:
+            # Compiled tiles need RB/8 % 32 == 0; RB is a performance
+            # knob, not a semantic one, so round up silently. W buckets
+            # to 256 so random subject lengths share compilations.
+            RB = max(256, -(-RB // 256) * 256)
+        B = RB // 8
+        Rblocks = -(-m // RB)
+        q_full = np.full((Rblocks * RB,), PAD, np.int64)
+        q_full[:m] = np.asarray(q_codes, np.int64)
+        qprof = np.asarray(matrix_padded)[q_full]
+        pq = np.ascontiguousarray(
+            qprof.reshape(Rblocks, B, 8, PADDED_ALPHABET).transpose(0, 3, 2, 1)
+        ).astype(np.float32)
+        W = -(-n // D)
+        if not interpret:
+            W = -(-W // 256) * 256
+        s_pad = np.full((W * D,), PAD, np.int64)
+        s_pad[:n] = np.asarray(s_codes, np.int64)
+        subj = put_global(s_pad, mesh, P("d"), np.int32)
+        pq_j = put_global(pq, mesh, P(), np.float32)
+        return int(
+            ring_pair_score_banded(
+                jnp.asarray(pq_j).astype(jnp.bfloat16), subj,
+                gap_q=int(Q), gap_r=int(R_),
+                mesh=mesh, RB=RB, local=local, m_real=m, n_real=n,
+                interpret=interpret,
+            )
+        )
+
     prof = make_profile(np.asarray(q_codes), matrix_padded)
     pad_m = (-m) % RB
     if pad_m:
@@ -270,8 +491,6 @@ def ring_score(
     W = -(-n // D)
     s_pad = np.full((W * D,), PADDED_ALPHABET - 1, np.int64)
     s_pad[:n] = np.asarray(s_codes, np.int64)
-
-    from .sharded import put_global
 
     subj = put_global(s_pad, mesh, P("d"), np.int32)
     profile = put_global(prof, mesh, P(), np.int32)

@@ -74,3 +74,36 @@ def test_ring_profile_multiple_validation(mesh):
     subj = jnp.zeros((mesh.devices.size * 8,), jnp.int32)
     with pytest.raises(ValueError, match="multiple of RB"):
         ring_pair_score(prof, subj, 12, 1, mesh=mesh, RB=32)
+
+
+@pytest.mark.parametrize("local", [True, False], ids=["sw", "nw"])
+@pytest.mark.parametrize("m,n", [(64, 300), (100, 777), (40, 40)])
+def test_banded_ring_matches_oracle(mesh, local, m, n):
+    """Round 3: the per-device Pallas tile-kernel ring (interpret mode)."""
+    rng = np.random.default_rng(m * 77 + n + (1 if local else 0))
+    q = rng.integers(0, 20, m).astype(np.uint8)
+    s = rng.integers(0, 20, n).astype(np.uint8)
+    got = ring_score(
+        q, s, B62.padded(), 11, 1, local=local, mesh=mesh, RB=32,
+        kernel="banded", interpret=True,
+    )
+    want = (oracle.sw_score if local else oracle.nw_score)(
+        q, s, B62.scores, 11, 1
+    )
+    assert got == want
+
+
+def test_banded_ring_matches_scan_ring(mesh):
+    """Both ring formulations agree pairwise (and with the oracle)."""
+    rng = np.random.default_rng(123)
+    q = rng.integers(0, 20, 96).astype(np.uint8)
+    s = rng.integers(0, 20, 555).astype(np.uint8)
+    scan = ring_score(
+        q, s, B62.padded(), 12, 2, local=True, mesh=mesh, RB=32,
+        kernel="scan",
+    )
+    banded = ring_score(
+        q, s, B62.padded(), 12, 2, local=True, mesh=mesh, RB=32,
+        kernel="banded", interpret=True,
+    )
+    assert scan == banded == oracle.sw_score(q, s, B62.scores, 12, 2)

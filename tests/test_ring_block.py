@@ -1,0 +1,78 @@
+"""Banded tile kernel + tiled whole-pair runner vs the int64 oracle.
+
+The tile kernel (ops/ring_block_pallas.py) is validated THROUGH
+ops/tiled_pair.py: chaining tiles over both grid axes exercises every
+boundary surface (top/bottom streams, left/right edge columns, corner
+and diagonal hand-off, drain isolation) — any error in any of them
+breaks the final score. Interpret mode on CPU (same kernel code the TPU
+compiles; the hardware lane re-checks exactness on the chip).
+"""
+import numpy as np
+import pytest
+
+from libssa_tpu import matrices, oracle
+from libssa_tpu.ops.tiled_pair import tiled_pair_score
+
+B62 = matrices.builtin("BLOSUM62")
+
+
+def _random_pair(rng, m, n):
+    return (
+        rng.integers(0, 20, m).astype(np.uint8),
+        rng.integers(0, 20, n).astype(np.uint8),
+    )
+
+
+@pytest.mark.parametrize("local", [True, False], ids=["sw", "nw"])
+@pytest.mark.parametrize(
+    "m,n,RB,WC",
+    [
+        (40, 60, 256, 256),  # single tile, padded
+        (300, 200, 256, 256),  # 2 row blocks x 1 chunk
+        (200, 300, 256, 256),  # 1 x 2
+        (530, 610, 256, 256),  # 3 x 3, ragged ends
+        (256, 256, 256, 256),  # exact fit
+        (257, 513, 256, 256),  # off-by-one over the tile edges
+    ],
+)
+def test_tiled_vs_oracle(local, m, n, RB, WC):
+    rng = np.random.default_rng(m * 1000 + n + (1 if local else 0))
+    q, s = _random_pair(rng, m, n)
+    want = (oracle.sw_score if local else oracle.nw_score)(
+        q, s, B62.scores, 10, 1
+    )
+    got = tiled_pair_score(
+        q, s, B62.padded(), 11, 1, local=local, RB=RB, WC=WC, interpret=True
+    )
+    assert got == want
+
+
+@pytest.mark.parametrize("local", [True, False], ids=["sw", "nw"])
+def test_tiled_randomized(local):
+    rng = np.random.default_rng(7 if local else 8)
+    for _ in range(4):
+        m = int(rng.integers(2, 700))
+        n = int(rng.integers(2, 700))
+        q, s = _random_pair(rng, m, n)
+        want = (oracle.sw_score if local else oracle.nw_score)(
+            q, s, B62.scores, 10, 1
+        )
+        got = tiled_pair_score(
+            q, s, B62.padded(), 11, 1, local=local,
+            RB=256, WC=256, interpret=True,
+        )
+        assert got == want, (m, n)
+
+
+def test_tiled_gap_only_and_identical():
+    # Degenerate pairs crossing tile boundaries.
+    q = np.tile(np.arange(20, dtype=np.uint8), 30)[:520]
+    for local in (True, False):
+        want = (oracle.sw_score if local else oracle.nw_score)(
+            q, q, B62.scores, 10, 1
+        )
+        got = tiled_pair_score(
+            q, q, B62.padded(), 11, 1, local=local,
+            RB=256, WC=256, interpret=True,
+        )
+        assert got == want
