@@ -226,6 +226,18 @@ def run_soak(trials: int, seed: int) -> dict:
             assert rs == want[sid], f"trial {trial}: ring score"
             checked["ring"] = checked.get("ring", 0) + 1
 
+        if trial % 9 == 0 and len(q) and len(seqs[0]):
+            # Round 3: the single-pair path (skewed-band Pallas kernel on
+            # TPU, row-sweep scan on CPU) via its product routing.
+            from libssa_tpu.ops.longpair import longpair_score
+
+            sid = int(trng.integers(0, n_seqs))
+            lp = longpair_score(
+                q, seqs[sid], mat.padded(), go, ge, local=local
+            )
+            assert lp == want[sid], f"trial {trial}: longpair score"
+            checked["longpair"] = checked.get("longpair", 0) + 1
+
         if (trial + 1) % 10 == 0:
             print(
                 f"  {trial + 1}/{trials} trials, {checked['scores']} scores "
