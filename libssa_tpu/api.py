@@ -523,17 +523,43 @@ class SSAContext:
         query: Query,
         subject: str,
         align_type: AlignType = AlignType.NW,
+        mode: ComputeMode = ComputeMode.ALIGNMENT,
     ) -> Alignment:
         """Align one query against one subject (no database).
 
         The 1-vs-1 entry point (benchmark config #1): exact score +
         traceback using the configured matrix and gap penalties.
+        ``mode=ComputeMode.SCORE`` skips the traceback and runs the
+        skewed-band Pallas kernel (ops/longpair — 53.8 GCUPS/chip on a
+        16k x 16k pair, any pair size via tiled chaining) instead of the
+        O(m+n)-memory traceback fill; for genome-scale pairs this is the
+        path to use.
         """
         if self.matrix is None:
             raise RuntimeError("init_score_matrix() must be called first")
         local = align_type is AlignType.SW
         sc = alphabet.encode(subject, self.matrix.symtype)
         q_seqs = self._search_sequences(query)
+        if mode is ComputeMode.SCORE:
+            from .ops.longpair import longpair_score
+
+            best_s = None
+            for label, qc in q_seqs:
+                s = longpair_score(
+                    qc, sc, self.matrix.padded(), self.gap_open,
+                    self.gap_extend, local=local,
+                    first_residue_opens=self.params.first_residue_opens,
+                )
+                if best_s is None or s > best_s[1]:
+                    best_s = (label, s)
+            label, score = best_s
+            return Alignment(
+                seq_id=-1,
+                header="subject",
+                score=int(score),
+                align_type=align_type,
+                strand=label,
+            )
         best = None
         for label, qc in q_seqs:
             tb = aligner.align_pair(

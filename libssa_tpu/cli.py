@@ -179,9 +179,10 @@ def cmd_pair(args) -> int:
         or __import__("os").path.exists(args.subject)
     ) else args.subject
     a = ctx.align_pair(
-        query, subject, AlignType.SW if args.algo == "sw" else AlignType.NW
+        query, subject, AlignType.SW if args.algo == "sw" else AlignType.NW,
+        mode=ComputeMode.SCORE if args.score_only else ComputeMode.ALIGNMENT,
     )
-    _print_hit(a, 1, True)
+    _print_hit(a, 1, not args.score_only)
     return 0
 
 
@@ -226,6 +227,10 @@ def main(argv=None) -> int:
     pp = sub.add_parser("pair", help="align one query against one subject")
     pp.add_argument("--query", required=True)
     pp.add_argument("--subject", required=True, help="FASTA file or bare sequence")
+    pp.add_argument(
+        "--score-only", action="store_true",
+        help="score without traceback (kernel-rate path for huge pairs)",
+    )
     _add_scoring_args(pp)
     pp.set_defaults(fn=cmd_pair)
 

@@ -449,3 +449,29 @@ def test_fanout_bit_width_notice(tmp_path, capsys):
     assert got.stats.notes and "BIT8" in got.stats.notes[0]
     assert "exact device pass" in capsys.readouterr().err
     assert not want.stats.notes  # exact requests stay silent
+
+
+def test_align_pair_score_only(tmp_path):
+    """mode=SCORE routes the pair through ops.longpair — same score."""
+    import numpy as np
+
+    from libssa_tpu import api, alphabet, matrices, oracle
+    from libssa_tpu.constants import AlignType, ComputeMode, SymType
+
+    rng = np.random.default_rng(21)
+    qs = "".join(rng.choice(list("ARNDCQEGHILKMFPSTWYV"), 120))
+    ss = "".join(rng.choice(list("ARNDCQEGHILKMFPSTWYV"), 150))
+    ctx = api.SSAContext()
+    ctx.init_symbol_translation(SymType.AMINOACID)
+    ctx.init_score_matrix("BLOSUM62")
+    ctx.init_gap_penalties(10, 1)
+    q = ctx.init_sequence_fasta(qs)
+    B62 = matrices.builtin("BLOSUM62")
+    qc = alphabet.encode(qs, SymType.AMINOACID)
+    sc = alphabet.encode(ss, SymType.AMINOACID)
+    for at, fn in ((AlignType.SW, oracle.sw_score), (AlignType.NW, oracle.nw_score)):
+        full = ctx.align_pair(q, ss, at)
+        score = ctx.align_pair(q, ss, at, mode=ComputeMode.SCORE)
+        want = fn(qc, sc, B62.scores, 10, 1)
+        assert score.score == full.score == want
+        assert score.cigar is None  # no traceback computed

@@ -78,3 +78,20 @@ def test_pair_devices_wired(monkeypatch, capsys):
         "--devices", "1",
     ])
     assert rc == 0 and calls == [1]
+
+
+def test_pair_score_only(tmp_path, capsys):
+    from libssa_tpu import cli
+
+    qf = tmp_path / "q.fas"
+    sf = tmp_path / "s.fas"
+    qf.write_text(">q\nMKVLAAGWKQTE\n")
+    sf.write_text(">s\nMKVIGAGWQQTE\n")
+    rc = cli.main([
+        "pair", "--query", str(qf), "--subject", str(sf),
+        "--algo", "sw", "--score-only",
+        "--matrix", "BLOSUM62", "--gap-open", "10", "--gap-extend", "1",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "score" in out.lower() or any(ch.isdigit() for ch in out)
