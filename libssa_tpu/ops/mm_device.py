@@ -1,0 +1,368 @@
+"""Device row passes for kernel-rate Myers-Miller (huge-pair traceback).
+
+``search/hirschberg.py`` aligns arbitrarily long pairs in O(m+n) memory,
+but its row passes are host NumPy (~0.15 GCUPS). Its divide step needs
+exactly two things per subproblem:
+
+  * ``_mm_pass`` — the (CC, DD) min-cost rows at the split row: these
+    are the NEGATED H and F (vertical-gap state) rows of a standard
+    Gotoh NW fill whose LEFT boundary opens at ``tb`` (g = Q-R for a
+    fresh gap, 0 when a vertical gap crosses the subproblem boundary):
+    CC[j] = -H[mid][j], DD[j] = -F[mid][j]  (proof: DD's recurrence
+    DD_i = min(DD_{i-1}, CC_{i-1}+g) + h negates to exactly
+    F_i = max(F_{i-1}-R, H_{i-1}-Q)).
+  * the SW end cell (score, i, j) with the oracle's tie-break (smallest
+    i, then smallest j).
+
+Both are banded-tile sweeps (ops/ring_block_pallas.py): the H/F row at
+ANY query row is the tile kernel's bottom-stream capture (traced
+band/row — one compilation serves every split row), and the end cell is
+the SW sweep with per-cell argmax-step tracking (``track_pos``).
+``hirschberg.align_pair_linear`` routes subproblems above a cell
+threshold here; NumPy remains the small-case / CPU path and the
+correctness anchor (tests cross-check all three).
+
+Boundary mapping (min-cost -> score form): substitution = the original
+matrix, penalties the original (Q, R); left column H[i][0] =
+-(tb + R*i); top row H[0][j] = -(Q + (j-1)R); E boundary = -inf.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import PADDED_ALPHABET
+from .ring_block_pallas import banded_tile, tile_shapes
+
+NEG_F32 = float(-(2.0**24))
+SENTINEL = -(2**30)
+RB_DEF = 16384
+WC_DEF = 16384
+
+
+def _plan(m, n, RB, WC, interpret):
+    # FIXED two-level tile ladder: recursion subproblem sizes vary
+    # continuously, and every distinct (RB, WC) is a separate Pallas
+    # compile (tens of seconds via the remote-compile tunnel). Small
+    # tiles for small problems, else the full tile; pad waste is bounded
+    # by one block per axis.
+    RB = 2048 if m <= 6144 else int(RB)
+    WC = 2048 if n <= 6144 else int(WC)
+    if interpret:  # CPU tests: tiny tiles keep interpret time sane
+        RB = min(RB, max(256, -(-m // 256) * 256))
+        WC = min(WC, max(256, -(-n // 256) * 256))
+    T, B = tile_shapes(RB, WC, interpret)
+    Rb, Cc = -(-m // RB), -(-n // WC)
+    if not interpret:
+        # Grid dims round up to powers of two: every (Rb, Cc) pair is an
+        # XLA retrace (remote-compiled, seconds) — recursion produces
+        # continuously varying sizes, so bound the shape set (~25 pairs,
+        # cached persistently). Pad tiles are PAD-filled: bounded wasted
+        # compute (cheap next to a dispatch), exactness untouched.
+        Rb = 1 << (Rb - 1).bit_length()
+        Cc = 1 << (Cc - 1).bit_length()
+    return RB, WC, T, B, Rb, Cc
+
+
+def _pq_blocks(q_codes, matrix_padded, Rb, RB, B):
+    PAD = PADDED_ALPHABET - 1
+    q_full = np.full((Rb * RB,), PAD, np.int64)
+    q_full[: len(q_codes)] = np.asarray(q_codes, np.int64)
+    qprof = np.asarray(matrix_padded)[q_full]
+    return np.ascontiguousarray(
+        qprof.reshape(Rb, B, 8, PADDED_ALPHABET).transpose(0, 3, 2, 1)
+    ).astype(np.float32)
+
+
+def _s_chunks(s_codes, Cc, WC, T):
+    PAD = PADDED_ALPHABET - 1
+    s_chunks = np.full((Cc, T), PAD, np.int32)
+    s_flat = np.full((Cc * WC,), PAD, np.int32)
+    s_flat[: len(s_codes)] = np.asarray(s_codes, np.int32)
+    s_chunks[:, :WC] = s_flat.reshape(Cc, WC)
+    return s_chunks
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("RB", "WC", "Q", "R", "interpret"),
+)
+def _rows_score(
+    pq_blocks, s_chunks, m, tbf, *, RB, WC, Q, R, interpret
+):
+    """NW grid fill; returns the FULL padded H and F streams of DP row
+    ``m`` (traced; callers slice [:n]).
+
+    ``tbf``: the left-boundary vertical-gap open cost (g, or 0 when the
+    gap crosses the subproblem boundary) — traced, so one compilation
+    serves both.
+    """
+    T, B = tile_shapes(RB, WC, interpret)
+    Rb = pq_blocks.shape[0]
+    Cc = s_chunks.shape[0]
+    n_pad = Cc * WC
+    tile = banded_tile(RB, WC, Q, R, False, interpret)
+    Qf, Rf = jnp.float32(Q), jnp.float32(R)
+    tbf = jnp.asarray(tbf, jnp.float32)
+    m = jnp.asarray(m, jnp.int32)
+
+    def lcol(i):
+        # H[i][0] = -(tb + R*i), H[0][0] = 0.
+        fi = i.astype(jnp.float32)
+        return jnp.where(fi <= 0, 0.0, -(tbf + fi * Rf))
+
+    # The block holding DP row m (traced): its stream is the answer.
+    # The grid may extend past it (power-of-two padding) with all-PAD
+    # blocks whose streams are garbage — the latch below ignores them.
+    cap_blk = (m - 1) // RB
+    last_local = m - 1 - cap_blk * RB  # 0-based row within that block
+
+    def row_block(carry, xs):
+        botH_full, botF_full, capH, capF = carry
+        pq_r, r = xs
+        i0 = r * RB + 1
+        rows = i0 + jnp.arange(RB, dtype=jnp.int32)
+        lH0 = lcol(rows).reshape(B, 8)
+        lD0 = lcol(rows.reshape(B, 8)[:, 0] - 1).reshape(1, B)
+        corner0 = lcol(jnp.asarray(i0 - 1, jnp.int32)).reshape(1)
+        topH_ext = jnp.concatenate([corner0, botH_full])
+        is_cap = r == cap_blk
+        bot_band = jnp.where(is_cap, last_local // 8, B - 1)
+        bot_row = jnp.where(is_cap, last_local % 8, 7)
+
+        def chunk(ccarry, cxs):
+            rH_prev, rE_prev = ccarry
+            s_c, topH_c, topF_c, c = cxs
+            first = c == 0
+            lH = jnp.where(first, lH0.T, rH_prev)
+            lE = jnp.where(
+                first, jnp.full((8, B), NEG_F32, jnp.float32), rE_prev
+            )
+            lD = jnp.where(
+                first,
+                lD0,
+                jnp.concatenate(
+                    [jnp.zeros((1, 1), jnp.float32), rH_prev[7:8, :-1]],
+                    axis=1,
+                ),
+            )
+            acc, cap, rH, rE, bH, bF = tile(
+                s_c, topH_c, topF_c, pq_r, lH, lE, lD,
+                0, SENTINEL, bot_band, bot_row,
+            )
+            return (rH, rE), (bH, bF)
+
+        cs = jnp.arange(Cc, dtype=jnp.int32)
+        pos = jnp.arange(T + 1)
+        topH_chunks = jax.vmap(
+            lambda c: jax.lax.dynamic_slice(
+                jnp.concatenate(
+                    [topH_ext, jnp.full((T,), NEG_F32, jnp.float32)]
+                ),
+                (c * WC,),
+                (T + 1,),
+            )
+        )(cs)
+        topH_chunks = jnp.where(pos[None, :] <= WC, topH_chunks, NEG_F32)
+        topF_chunks = jax.vmap(
+            lambda c: jax.lax.dynamic_slice(
+                jnp.concatenate(
+                    [botF_full, jnp.full((T,), NEG_F32, jnp.float32)]
+                ),
+                (c * WC,),
+                (T,),
+            )
+        )(cs)
+        topF_chunks = jnp.where(pos[None, :-1] < WC, topF_chunks, NEG_F32)
+
+        _, (bHs, bFs) = jax.lax.scan(
+            chunk,
+            (
+                jnp.zeros((8, B), jnp.float32),
+                jnp.full((8, B), NEG_F32, jnp.float32),
+            ),
+            (s_chunks, topH_chunks, topF_chunks, cs),
+        )
+        bHf, bFf = bHs.reshape(-1), bFs.reshape(-1)
+        capH = jnp.where(is_cap, bHf, capH)
+        capF = jnp.where(is_cap, bFf, capF)
+        # For r == cap_blk the emitted stream is the CAPTURED row, not
+        # the block's bottom row — later blocks' top feeds are then
+        # wrong, but only all-PAD padding blocks follow the capture.
+        return (bHf, bFf, capH, capF), None
+
+    js = 1 + jnp.arange(n_pad, dtype=jnp.int32)
+    topH0 = -(Qf + (js.astype(jnp.float32) - 1.0) * Rf)
+    topF0 = jnp.full((n_pad,), NEG_F32, jnp.float32)
+    z = jnp.zeros((n_pad,), jnp.float32)
+    (_, _, bH, bF), _ = jax.lax.scan(
+        row_block,
+        (topH0, topF0, z, z),
+        (pq_blocks, jnp.arange(Rb, dtype=jnp.int32)),
+    )
+    return bH, bF
+
+
+def mm_pass_rows(
+    q_codes: np.ndarray,
+    s_codes: np.ndarray,
+    matrix_padded: np.ndarray,
+    gap_q: int,
+    gap_r: int,
+    tb_is_zero: bool,
+    RB: int = RB_DEF,
+    WC: int = WC_DEF,
+    interpret: bool = False,
+):
+    """(CC, DD) int64 rows — device analogue of ``hirschberg._mm_pass``.
+
+    CC[j]/DD[j] for j = 0..n; exact while every |H| < 2**24 (callers
+    guard with ``longpair.score_bound``).
+    """
+    m, n = len(q_codes), len(s_codes)
+    Q, R = int(gap_q), int(gap_r)
+    RB, WC, T, B, Rb, Cc = _plan(m, n, RB, WC, interpret)
+    tb = 0 if tb_is_zero else Q - R
+    bH, bF = _rows_score(
+        jnp.asarray(_pq_blocks(q_codes, matrix_padded, Rb, RB, B)).astype(
+            jnp.bfloat16
+        ),
+        jnp.asarray(_s_chunks(s_codes, Cc, WC, T)),
+        m, float(tb),
+        RB=RB, WC=WC, Q=Q, R=R, interpret=bool(interpret),
+    )
+    bH, bF = np.asarray(bH)[:n], np.asarray(bF)[:n]
+    CC = np.empty(n + 1, np.int64)
+    DD = np.empty(n + 1, np.int64)
+    CC[0] = tb + R * m
+    DD[0] = tb + R * m
+    CC[1:] = -bH.astype(np.int64)
+    DD[1:] = -bF.astype(np.int64)
+    return CC, DD
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("RB", "WC", "Q", "R", "interpret"),
+)
+def _sw_end_score(pq_blocks, s_chunks, *, RB, WC, Q, R, interpret):
+    """SW grid fill with per-cell argmax-step tracking.
+
+    Returns stacked per-tile (acc, tbest) — (Rb, Cc, 8, B) each.
+    """
+    T, B = tile_shapes(RB, WC, interpret)
+    Rb = pq_blocks.shape[0]
+    Cc = s_chunks.shape[0]
+    n_pad = Cc * WC
+    tile = banded_tile(RB, WC, Q, R, True, interpret, track_pos=True)
+
+    def row_block(carry, xs):
+        botH_full, botF_full = carry
+        pq_r, r = xs
+        topH_ext = jnp.concatenate(
+            [jnp.zeros((1,), jnp.float32), botH_full]
+        )
+
+        def chunk(ccarry, cxs):
+            rH_prev, rE_prev = ccarry
+            s_c, topH_c, topF_c, c = cxs
+            first = c == 0
+            lH = jnp.where(first, jnp.zeros((8, B), jnp.float32), rH_prev)
+            lE = jnp.where(
+                first, jnp.full((8, B), NEG_F32, jnp.float32), rE_prev
+            )
+            lD = jnp.where(
+                first,
+                jnp.zeros((1, B), jnp.float32),
+                jnp.concatenate(
+                    [jnp.zeros((1, 1), jnp.float32), rH_prev[7:8, :-1]],
+                    axis=1,
+                ),
+            )
+            acc, cap, rH, rE, bH, bF, tbest = tile(
+                s_c, topH_c, topF_c, pq_r, lH, lE, lD, 0, SENTINEL
+            )
+            return (rH, rE), (acc, tbest, bH, bF)
+
+        cs = jnp.arange(Cc, dtype=jnp.int32)
+        pos = jnp.arange(T + 1)
+        topH_chunks = jax.vmap(
+            lambda c: jax.lax.dynamic_slice(
+                jnp.concatenate(
+                    [topH_ext, jnp.full((T,), NEG_F32, jnp.float32)]
+                ),
+                (c * WC,),
+                (T + 1,),
+            )
+        )(cs)
+        topH_chunks = jnp.where(pos[None, :] <= WC, topH_chunks, NEG_F32)
+        topF_chunks = jax.vmap(
+            lambda c: jax.lax.dynamic_slice(
+                jnp.concatenate(
+                    [botF_full, jnp.full((T,), NEG_F32, jnp.float32)]
+                ),
+                (c * WC,),
+                (T,),
+            )
+        )(cs)
+        topF_chunks = jnp.where(pos[None, :-1] < WC, topF_chunks, NEG_F32)
+
+        _, (accs, tbests, bHs, bFs) = jax.lax.scan(
+            chunk,
+            (
+                jnp.zeros((8, B), jnp.float32),
+                jnp.full((8, B), NEG_F32, jnp.float32),
+            ),
+            (s_chunks, topH_chunks, topF_chunks, cs),
+        )
+        return (bHs.reshape(-1), bFs.reshape(-1)), (accs, tbests)
+
+    topH0 = jnp.zeros((n_pad,), jnp.float32)
+    topF0 = jnp.full((n_pad,), NEG_F32, jnp.float32)
+    _, (accs, tbests) = jax.lax.scan(
+        row_block,
+        (topH0, topF0),
+        (pq_blocks, jnp.arange(Rb, dtype=jnp.int32)),
+    )
+    return accs, tbests
+
+
+def sw_end_cell(
+    q_codes: np.ndarray,
+    s_codes: np.ndarray,
+    matrix_padded: np.ndarray,
+    gap_q: int,
+    gap_r: int,
+    RB: int = RB_DEF,
+    WC: int = WC_DEF,
+    interpret: bool = False,
+):
+    """(best, end_i, end_j) 1-based inclusive — device analogue of
+    ``hirschberg._score_end_sw`` with the oracle tie-break (smallest i,
+    then smallest j)."""
+    m, n = len(q_codes), len(s_codes)
+    Q, R = int(gap_q), int(gap_r)
+    RB, WC, T, B, Rb, Cc = _plan(m, n, RB, WC, interpret)
+    accs, tbests = _sw_end_score(
+        jnp.asarray(_pq_blocks(q_codes, matrix_padded, Rb, RB, B)).astype(
+            jnp.bfloat16
+        ),
+        jnp.asarray(_s_chunks(s_codes, Cc, WC, T)),
+        RB=RB, WC=WC, Q=Q, R=R, interpret=bool(interpret),
+    )
+    accs = np.asarray(accs)  # (Rb, Cc, 8, B)
+    tbests = np.asarray(tbests, np.int64)
+    best = int(accs.max())
+    if best <= 0:
+        return 0, 0, 0
+    rblk, cblk, r8, band = np.nonzero(accs == best)
+    # Global coordinates per candidate cell; the latched step t gives the
+    # tile-local column tau = t - band (earliest == smallest j per cell).
+    gi = rblk * RB + band * 8 + r8 + 1
+    gj = cblk * WC + (tbests[rblk, cblk, r8, band] - band) + 1
+    order = np.lexsort((gj, gi))
+    k = order[0]
+    return best, int(gi[k]), int(gj[k])

@@ -66,7 +66,7 @@ UNROLL_STEPS = 32
 
 
 def _kernel(
-    sc_ref,  # (2,) int32 SMEM: [cap_row in 0..RB (sentinel RB), cap_col]
+    sc_ref,  # (4,) int32 SMEM: [cap_row, cap_col, bot_band, bot_row]
     s_ref,  # (T,) int32 SMEM: this tile's subject codes, PAD beyond W
     topH_ref,  # (T+1,) f32 SMEM: corner-first top-row H stream
     topF_ref,  # (T,) f32 SMEM: top-row F stream
@@ -78,8 +78,9 @@ def _kernel(
     cap_ref,  # (1, B) f32 out: mid-cell latch per lane (see module doc)
     rH_ref,  # (8, B) f32 out: right-edge H (tau == W-1)
     rE_ref,  # (8, B) f32 out: right-edge E
-    botH_ref,  # (Wn, B) f32 out: bottom H windows (flat[t] = col t-B+1)
+    botH_ref,  # (Wn, B) f32 out: bottom H windows (flat[t] = col t - bb)
     botF_ref,  # (Wn, B) f32 out: bottom F windows
+    tb_ref,  # (8, B) f32 out: per-cell earliest argmax step (track_pos)
     h_ref,  # (8, B) f32 scratch (carry init round-trip; Mosaic splat bug)
     e_ref,
     buf_ref,  # (6, B) f32 scratch
@@ -90,12 +91,15 @@ def _kernel(
     Q: int,
     R: int,
     local: bool,
+    track_pos: bool,
     unroll: int,
 ):
     Qf, Rf = jnp.float32(Q), jnp.float32(R)
     PAD = PADDED_ALPHABET - 1
     cr = sc_ref[0]
     cc = sc_ref[1]
+    bb = sc_ref[2]  # bottom-stream band (B-1 for the true bottom row)
+    br = sc_ref[3]  # bottom-stream row within the band (7 for the bottom)
     rc = cr % 8  # capture row within its band
     T = Wn * B
 
@@ -110,8 +114,9 @@ def _kernel(
         d *= 2
     fmask = jnp.where(rid >= 1, -Qf, NEG_F32)
     fdecay = -rid.astype(jnp.float32) * Rf
-    row7 = jax.lax.broadcasted_iota(jnp.int32, (8, B), 0) == 7
-    laneL = lane1 == B - 1
+    rid8 = jax.lax.broadcasted_iota(jnp.int32, (8, B), 0)
+    rowX = rid8 == br  # traced: the bottom-stream row mask
+    laneX = lane1 == bb  # traced: the bottom-stream band lane
 
     def sel_tree(symi):
         lvl = [pq_ref[a] for a in range(PADDED_ALPHABET)]
@@ -126,7 +131,7 @@ def _kernel(
     def make_step(inject: bool, edge: bool):
         def step(t, carry):
             (h, e, botH1, topHd_raw, botF1, sym, acc, cap, rH, rE,
-             abH, abF) = carry
+             abH, abF, tbest) = carry
             sym = jnp.where(
                 lane0, s_ref[t], pltpu.roll(sym, shift=1, axis=1)
             )
@@ -166,7 +171,14 @@ def _kernel(
             h_new = jnp.maximum(hnof, f)
 
             if local:
-                acc = jnp.maximum(acc, h_new)
+                if track_pos:
+                    better = h_new > acc
+                    acc = jnp.where(better, h_new, acc)
+                    tbest = jnp.where(
+                        better, jnp.float32(1.0) * t, tbest
+                    )
+                else:
+                    acc = jnp.maximum(acc, h_new)
             # Mid-cell latch (global NW end cell inside this tile):
             # cap_col is -2**30 when not applicable — tau > -B always,
             # so no lane can match.
@@ -186,17 +198,17 @@ def _kernel(
             # step u (stale lanes are fully displaced), so the flush is
             # one static-layout row store. All static shifts.
             bh = jnp.max(
-                jnp.where(row7, h_new, NEG_F32), axis=0, keepdims=True
+                jnp.where(rowX, h_new, NEG_F32), axis=0, keepdims=True
             )
             bf_ = jnp.max(
-                jnp.where(row7, f, NEG_F32), axis=0, keepdims=True
+                jnp.where(rowX, f, NEG_F32), axis=0, keepdims=True
             )
-            abH = jnp.where(laneL, bh, pltpu.roll(abH, shift=B - 1, axis=1))
-            abF = jnp.where(laneL, bf_, pltpu.roll(abF, shift=B - 1, axis=1))
+            abH = jnp.where(laneX, bh, pltpu.roll(abH, shift=B - 1, axis=1))
+            abF = jnp.where(laneX, bf_, pltpu.roll(abF, shift=B - 1, axis=1))
 
             return (
                 h_new, e_new, h_new[7:8, :], topH, f[7:8, :], sym,
-                acc, cap, rH, rE, abH, abF,
+                acc, cap, rH, rE, abH, abF, tbest,
             )
 
         return step
@@ -215,12 +227,13 @@ def _kernel(
     rH_ref[:] = jnp.zeros((8, B), jnp.float32)
     rE_ref[:] = jnp.full((8, B), NEG_F32, jnp.float32)
     cap_ref[:] = jnp.full((1, B), NEG_F32, jnp.float32)
+    tb_ref[:] = jnp.full((8, B), -1.0, jnp.float32)
     carry = (
         h_ref[:], e_ref[:],
         buf_ref[0:1, :], buf_ref[1:2, :], buf_ref[2:3, :],
         jnp.full((1, B), PAD, jnp.int32),
         acc_ref[:], buf_ref[3:4, :], rH_ref[:], rE_ref[:],
-        buf_ref[4:5, :], buf_ref[5:6, :],
+        buf_ref[4:5, :], buf_ref[5:6, :], tb_ref[:],
     )
 
     # Window loop: B steps per window (B % unroll == 0), flushing the
@@ -259,10 +272,11 @@ def _kernel(
     cap_ref[:] = carry[7]
     rH_ref[:] = carry[8]
     rE_ref[:] = carry[9]
+    tb_ref[:] = carry[12]
 
 
 @functools.lru_cache(maxsize=64)
-def _build(RB, W, Q, R, local, interpret):
+def _build(RB, W, Q, R, local, interpret, track_pos=False):
     B = RB // 8
     unroll = 1 if interpret else UNROLL_STEPS
     if B % unroll:
@@ -270,14 +284,15 @@ def _build(RB, W, Q, R, local, interpret):
     Wn = -(-(W + B) // B)  # ceil((W + B)/B) windows; T = Wn*B >= W + B
     T = Wn * B
     kernel = functools.partial(
-        _kernel, B=B, W=W, Wn=Wn, Q=Q, R=R, local=local, unroll=unroll
+        _kernel, B=B, W=W, Wn=Wn, Q=Q, R=R, local=local,
+        track_pos=track_pos, unroll=unroll,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
         in_specs=[smem, smem, smem, smem, vmem, vmem, vmem, vmem],
-        out_specs=[vmem] * 6,
+        out_specs=[vmem] * 7,
         out_shape=[
             jax.ShapeDtypeStruct((8, B), jnp.float32),  # acc
             jax.ShapeDtypeStruct((1, B), jnp.float32),  # cap
@@ -285,6 +300,7 @@ def _build(RB, W, Q, R, local, interpret):
             jax.ShapeDtypeStruct((8, B), jnp.float32),  # right E
             jax.ShapeDtypeStruct((Wn, B), jnp.float32),  # bottom H
             jax.ShapeDtypeStruct((Wn, B), jnp.float32),  # bottom F
+            jax.ShapeDtypeStruct((8, B), jnp.float32),  # tbest (track_pos)
         ],
         scratch_shapes=[
             pltpu.VMEM((8, B), jnp.float32),
@@ -294,20 +310,36 @@ def _build(RB, W, Q, R, local, interpret):
         interpret=interpret,
     )
 
-    def run(s_codes, topH, topF, pq, leftH, leftE, leftD, cap_row, cap_col):
+    def run(
+        s_codes, topH, topF, pq, leftH, leftE, leftD, cap_row, cap_col,
+        bot_band=B - 1, bot_row=7,
+    ):
         """Jit-composable tile sweep. Shapes per _kernel; returns
-        (acc, cap, rightH, rightE, botH_flat, botF_flat) where the
-        bottom streams are re-based so entry j = column j's value."""
+        (acc, cap, rightH, rightE, botH_flat, botF_flat[, tbest]) where
+        the bottom streams (H and F of query row 8*bot_band + bot_row,
+        1-based row 8*bot_band + bot_row + 1) are re-based so entry j =
+        column j's value."""
+        bb = jnp.asarray(bot_band, jnp.int32)
         sc = jnp.stack(
-            [jnp.asarray(cap_row, jnp.int32), jnp.asarray(cap_col, jnp.int32)]
+            [
+                jnp.asarray(cap_row, jnp.int32),
+                jnp.asarray(cap_col, jnp.int32),
+                bb,
+                jnp.asarray(bot_row, jnp.int32),
+            ]
         )
-        acc, cap, rH, rE, bH, bF = call(
+        acc, cap, rH, rE, bH, bF, tbest = call(
             sc, s_codes, topH, topF, pq, leftH, leftE, leftD
         )
-        # flat[t] holds the bottom value of column t - (B-1).
-        bHf = bH.reshape(-1)[B - 1 : B - 1 + W]
-        bFf = bF.reshape(-1)[B - 1 : B - 1 + W]
-        return acc, cap, rH, rE, bHf, bFf
+        # The rotating accumulator leaves each window-row rotated by
+        # (B-1-bot_band); after un-rotating, flat[t] holds the captured
+        # row's value at column t - bot_band.
+        def rebase(x):
+            x = jnp.roll(x, B - 1 - bb, axis=1)
+            return jax.lax.dynamic_slice(x.reshape(-1), (bb,), (W,))
+
+        out = (acc, cap, rH, rE, rebase(bH), rebase(bF))
+        return out + ((tbest,) if track_pos else ())
 
     return run, T
 
@@ -329,6 +361,7 @@ def banded_tile(
     gap_r: int,
     local: bool,
     interpret: bool = False,
+    track_pos: bool = False,
 ):
     """Compiled tile sweep for (RB x W) tiles at the given penalties.
 
@@ -341,6 +374,7 @@ def banded_tile(
     the corner rides topH[0]).
     """
     run, _T = _build(
-        int(RB), int(W), int(gap_q), int(gap_r), bool(local), bool(interpret)
+        int(RB), int(W), int(gap_q), int(gap_r), bool(local),
+        bool(interpret), bool(track_pos),
     )
     return run

@@ -29,6 +29,34 @@ from ..oracle import NEG, Traceback, gap_qr
 
 INF = int(2**60)
 
+# Round 3: subproblems with at least this many cells run their row pass
+# on the banded tile kernel (ops/mm_device.py) — ~50 GCUPS vs ~0.15 for
+# the NumPy pass; below it the dispatch round trip dominates. Tests
+# lower it (and set DEVICE_INTERPRET) to force the device path on CPU.
+DEVICE_MIN_CELLS = 16 * 1024 * 1024
+DEVICE_INTERPRET = False
+
+
+def _pad32(sub):
+    out = np.full((32, 32), -64, np.int64)
+    A = sub.shape[0]
+    out[:A, :A] = sub
+    return out
+
+
+def _device_ok(m, n, sub, Q, R):
+    if m * n < DEVICE_MIN_CELLS or m < 2 or n < 2:
+        return False
+    from ..ops.longpair import score_bound
+
+    if score_bound(m, n, sub, Q, R) >= 2**24:
+        return False  # outside the f32 window: NumPy int64 stays exact
+    if DEVICE_INTERPRET:
+        return True
+    from .kernels import pallas_available
+
+    return pallas_available()
+
 
 def _mm_pass(q, s, cost, g, h, tb):
     """One Myers-Miller forward pass over all rows of ``q``.
@@ -71,6 +99,34 @@ def _rev(x):
     return np.ascontiguousarray(x[::-1])
 
 
+def _mm_pass_any(q, s, cost, g, h, tb):
+    """_mm_pass, device-accelerated for large subproblems (see module
+    constants). tb is g (fresh vertical open) or 0 (gap crosses the
+    boundary) — the only values the recursion produces."""
+    m, n = len(q), len(s)
+    if tb in (0, g) and m and n:
+        sub = -cost
+        Q, R = g + h, h
+        if _device_ok(m, n, sub, Q, R):
+            from ..ops.mm_device import mm_pass_rows
+
+            return mm_pass_rows(
+                q, s, _pad32(sub), Q, R, tb == 0,
+                interpret=DEVICE_INTERPRET,
+            )
+    return _mm_pass(q, s, cost, g, h, tb)
+
+
+def _sw_end_any(q, s, sub, Q, R):
+    if _device_ok(len(q), len(s), sub, Q, R):
+        from ..ops.mm_device import sw_end_cell
+
+        return sw_end_cell(
+            q, s, _pad32(sub), Q, R, interpret=DEVICE_INTERPRET
+        )
+    return _score_end_sw(q, s, sub, Q, R)
+
+
 def _nw_ops(q, s, cost, g, h, tb, te):
     """Myers-Miller recursion -> ops list 'M'/'D'/'I' (D: query residue
     to gap, I: subject residue to gap)."""
@@ -97,8 +153,8 @@ def _nw_ops(q, s, cost, g, h, tb, te):
             return ["D"] + ["I"] * n
         return ["I"] * best_j + ["M"] + ["I"] * (n - best_j - 1)
     mid = m // 2
-    CCf, DDf = _mm_pass(q[:mid], s, cost, g, h, tb)
-    CCr, DDr = _mm_pass(_rev(q[mid:]), _rev(s), cost, g, h, te)
+    CCf, DDf = _mm_pass_any(q[:mid], s, cost, g, h, tb)
+    CCr, DDr = _mm_pass_any(_rev(q[mid:]), _rev(s), cost, g, h, te)
     CCr, DDr = _rev(CCr), _rev(DDr)
     t1 = CCf + CCr  # crossing at (mid, j) in match/insert state
     t2 = DDf + DDr - g  # crossing inside one vertical gap (one open only)
@@ -166,14 +222,14 @@ def align_pair_linear(
     cost = -sub.astype(np.int64)
 
     if local:
-        score, ei, ej = _score_end_sw(q, s, sub, Q, R)
+        score, ei, ej = _sw_end_any(q, s, sub, Q, R)
         if score == 0:
             return Traceback(0, 0, 0, 0, 0, "")
         # Reverse pass over the prefix rectangle finds the start cell.
-        _, ri, rj = _score_end_sw(_rev(q[:ei]), _rev(s[:ej]), sub, Q, R)
+        _, ri, rj = _sw_end_any(_rev(q[:ei]), _rev(s[:ej]), sub, Q, R)
         si, sj = ei - ri, ej - rj  # 0-based start
         ops = _nw_ops(q[si:ei], s[sj:ej], cost, g, h, g, g)
         return Traceback(score, si, ei, sj, ej, "".join(ops))
     ops = _nw_ops(q, s, cost, g, h, g, g)
-    CC, _ = _mm_pass(q, s, cost, g, h, g)
+    CC, _ = _mm_pass_any(q, s, cost, g, h, g)
     return Traceback(-int(CC[n]), 0, m, 0, n, "".join(ops))

@@ -1,0 +1,74 @@
+"""Device Myers-Miller row passes (ops/mm_device.py) vs the host passes.
+
+Interpret mode on CPU; the host NumPy implementations in
+search/hirschberg.py are the correctness anchors (themselves locked
+against the int64 oracle by test_hirschberg.py).
+"""
+import numpy as np
+import pytest
+
+from libssa_tpu import matrices, oracle
+from libssa_tpu.ops.mm_device import mm_pass_rows, sw_end_cell
+from libssa_tpu.search import hirschberg as hb
+
+B62 = matrices.builtin("BLOSUM62")
+Q, R = oracle.gap_qr(10, 1)
+G, H = Q - R, R
+COST = -B62.scores.astype(np.int64)
+
+
+@pytest.mark.parametrize("m,n", [(40, 60), (300, 200), (513, 287), (96, 700)])
+@pytest.mark.parametrize("tb0", [False, True], ids=["tb=g", "tb=0"])
+def test_mm_pass_rows_matches_host(m, n, tb0):
+    rng = np.random.default_rng(m + n + (1 if tb0 else 0))
+    q = rng.integers(0, 20, m).astype(np.intp)
+    s = rng.integers(0, 20, n).astype(np.intp)
+    CC, DD = mm_pass_rows(
+        q, s, B62.padded(), Q, R, tb0, RB=256, WC=256, interpret=True
+    )
+    wCC, wDD = hb._mm_pass(q, s, COST, G, H, 0 if tb0 else G)
+    np.testing.assert_array_equal(CC, wCC)
+    np.testing.assert_array_equal(DD, wDD)
+
+
+@pytest.mark.parametrize("m,n", [(50, 80), (300, 300), (430, 190)])
+def test_sw_end_cell_matches_host(m, n):
+    rng = np.random.default_rng(m * 7 + n)
+    q = rng.integers(0, 20, m).astype(np.intp)
+    s = rng.integers(0, 20, n).astype(np.intp)
+    got = sw_end_cell(q, s, B62.padded(), Q, R, RB=256, WC=256, interpret=True)
+    want = hb._score_end_sw(q, s, B62.scores, Q, R)
+    assert got == want
+
+
+def test_sw_end_cell_tie_break():
+    # Repeated motif: many cells share the best score — the oracle picks
+    # the smallest (i, j).
+    motif = np.array([12, 4, 9, 1, 17, 3], dtype=np.intp)
+    q = np.tile(motif, 50)
+    s = np.tile(motif, 60)
+    got = sw_end_cell(q, s, B62.padded(), Q, R, RB=256, WC=256, interpret=True)
+    want = hb._score_end_sw(q, s, B62.scores, Q, R)
+    assert got == want
+
+
+@pytest.mark.parametrize("local", [True, False], ids=["sw", "nw"])
+def test_align_pair_linear_device_path(monkeypatch, local):
+    """Full Myers-Miller with the device passes forced on, vs host-only."""
+    monkeypatch.setattr(hb, "DEVICE_MIN_CELLS", 1024)
+    monkeypatch.setattr(hb, "DEVICE_INTERPRET", True)
+    rng = np.random.default_rng(5 if local else 6)
+    q = rng.integers(0, 20, 230).astype(np.uint8)
+    s = rng.integers(0, 20, 310).astype(np.uint8)
+    got = hb.align_pair_linear(q, s, B62.scores, 10, 1, local=local)
+    monkeypatch.setattr(hb, "DEVICE_MIN_CELLS", 1 << 60)
+    want = hb.align_pair_linear(q, s, B62.scores, 10, 1, local=local)
+    assert (got.score, got.q_begin, got.q_end, got.s_begin, got.s_end,
+            got.cigar) == (
+        want.score, want.q_begin, want.q_end, want.s_begin, want.s_end,
+        want.cigar,
+    )
+    wantsc = (oracle.sw_score if local else oracle.nw_score)(
+        q, s, B62.scores, 10, 1
+    )
+    assert got.score == wantsc
