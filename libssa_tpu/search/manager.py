@@ -314,6 +314,20 @@ class SearchEngine:
         # sub-100k DBs — VERDICT r2 weak #1).
         return self._ladder_search_device(q_codes, k, local, bit_width, stats)
 
+    def _window_risk(self, m: int) -> bool:
+        """Could any |score| leave the exact f32 integer window?
+
+        Conservative a-priori bound (ops/longpair.score_bound's shape):
+        min(m, L) * max|sub| covers the positive side, the gap terms the
+        NW negative side. int32 compute is always exact.
+        """
+        if self.params.dtype != "float32":
+            return False
+        L = int(self.db.lengths.max()) if len(self.db) else 0
+        mx = int(np.abs(self.matrix.scores).max())
+        bound = min(m, L) * mx + int(self.gap_q) + max(m, L) * int(self.gap_r)
+        return bound >= F32_WINDOW
+
     def _ladder_search_device(self, q_codes, k, local, bit_width, stats):
         """BIT8/BIT16 search (SW or NW), fused: ONE dispatch + ONE fetch.
 
@@ -368,6 +382,19 @@ class SearchEngine:
         over_ids = np.unique(flat_ids[flags & (flat_ids >= 0)]).astype(np.int32)
         if len(over_ids):
             stats.rescored[f"limit>{eff_limit}"] = len(over_ids)
+        if len(over_ids) and self._window_risk(m):
+            # The emulated-width flags alone never need a recompute: the
+            # rung runs in f32 and its scores are ALREADY exact while
+            # every |score| is provably inside the f32 integer window
+            # (the a-priori bound below), so the "rescore" would merely
+            # re-derive identical values — the hit list from trip 1 IS
+            # the answer, and the rung statistics above are the faithful
+            # record of what a saturating-SIMD reference would recompute.
+            # Only a genuine f32-window risk (astronomically long
+            # near-identical pairs) runs the real rescue: host rescore at
+            # the next width, device scatter, second top-k trip.  Round 3:
+            # this elision restored config 3 from 3 sequential round
+            # trips back to one (docs/BENCH_RESULTS.md).
             sub = self.db.subset(over_ids)
             sub_bw = (
                 BitWidth.BIT16 if bit_width == BitWidth.BIT8 else BitWidth.EXACT

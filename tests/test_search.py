@@ -263,7 +263,21 @@ def test_device_resident_ladder_path(small_db):
     np.testing.assert_array_equal(w_s, g_s)
     np.testing.assert_array_equal(w_i, g_i)
     assert st2.rescored, "overflowing homolog must hit the rescore rung"
-    assert st2.dispatches == 2 and st2.fetches == 2  # scatter + re-topk
+    # r3: the emulated-width rescore is ELIDED when the f32 window bound
+    # holds (the rung scores are already exact; the rung stats above are
+    # the faithful record) — still one trip.
+    assert st2.dispatches == 1 and st2.fetches == 1
+
+    # Force a genuine f32-window risk: the full rescue (host rescore +
+    # scatter + second top-k trip) must run and stay bit-identical.
+    dev3 = SearchEngine(db2, B62, 10, 1, SearchParams(batch_size=8))
+    dev3._window_risk = lambda m: True
+    st3 = SearchStats()
+    g3_s, g3_i = dev3.search(q2, 5, bit_width=BitWidth.BIT8, stats=st3)
+    np.testing.assert_array_equal(w_s, g3_s)
+    np.testing.assert_array_equal(w_i, g3_i)
+    assert st3.rescored
+    assert st3.dispatches == 2 and st3.fetches == 2  # scatter + re-topk
 
 
 def test_fused_ladder_round_trip_counts(small_db):
