@@ -289,6 +289,11 @@ def test_score_mismatch_is_real_exception():
         _check_scores_match(41, 42)
     _check_scores_match(7, 7)  # equal scores pass
     code = (
+        # JAX_PLATFORMS=cpu alone is ignored under the axon plugin (see
+        # conftest): force CPU via jax.config so a busy/wedged TPU tunnel
+        # can't hang this subprocess.
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
         "from libssa_tpu.api import ScoreMismatchError, _check_scores_match\n"
         "try:\n"
         "    _check_scores_match(1, 2)\n"
