@@ -248,6 +248,82 @@ def mm_pass_rows(
     jax.jit,
     static_argnames=("RB", "WC", "Q", "R", "interpret"),
 )
+def _rows_score_pair(pq2, s2, m2, tb2, *, RB, WC, Q, R, interpret):
+    """Both Myers-Miller divide passes (forward + reverse) in ONE
+    program: ``lax.map`` over the stacked problems — halves the
+    dispatch+fence count of every recursion level (the warm-time cost of
+    a huge-pair traceback is round trips, not device compute)."""
+    return jax.lax.map(
+        lambda x: _rows_score(
+            x[0], x[1], x[2], x[3],
+            RB=RB, WC=WC, Q=Q, R=R, interpret=interpret,
+        ),
+        (pq2, s2, m2, tb2),
+    )
+
+
+def mm_pass_rows_pair(
+    qf_codes: np.ndarray,
+    sf_codes: np.ndarray,
+    tbf_is_zero: bool,
+    qr_codes: np.ndarray,
+    sr_codes: np.ndarray,
+    tbr_is_zero: bool,
+    matrix_padded: np.ndarray,
+    gap_q: int,
+    gap_r: int,
+    RB: int = RB_DEF,
+    WC: int = WC_DEF,
+    interpret: bool = False,
+):
+    """Both (CC, DD) row pairs of one divide level in ONE dispatch.
+
+    The two passes of a Myers-Miller divide share ``n`` (full subject,
+    forward and reversed) and differ in ``m`` by at most one row, so
+    they almost always share a tile plan; returns None when the plans
+    differ (caller falls back to two ``mm_pass_rows`` calls).
+    """
+    mf, nf = len(qf_codes), len(sf_codes)
+    mr, nr = len(qr_codes), len(sr_codes)
+    Q, R = int(gap_q), int(gap_r)
+    plan_f = _plan(mf, nf, RB, WC, interpret)
+    if plan_f != _plan(mr, nr, RB, WC, interpret):
+        return None
+    RB, WC, T, B, Rb, Cc = plan_f
+    tbs = (0 if tbf_is_zero else Q - R, 0 if tbr_is_zero else Q - R)
+    pq2 = np.stack(
+        [
+            _pq_blocks(qf_codes, matrix_padded, Rb, RB, B),
+            _pq_blocks(qr_codes, matrix_padded, Rb, RB, B),
+        ]
+    )
+    s2 = np.stack(
+        [_s_chunks(sf_codes, Cc, WC, T), _s_chunks(sr_codes, Cc, WC, T)]
+    )
+    bH2, bF2 = _rows_score_pair(
+        jnp.asarray(pq2).astype(jnp.bfloat16),
+        jnp.asarray(s2),
+        jnp.asarray([mf, mr], jnp.int32),
+        jnp.asarray([float(t) for t in tbs], jnp.float32),
+        RB=RB, WC=WC, Q=Q, R=R, interpret=bool(interpret),
+    )
+    bH2, bF2 = np.asarray(bH2), np.asarray(bF2)
+    out = []
+    for k, (mm, nn) in enumerate(((mf, nf), (mr, nr))):
+        CC = np.empty(nn + 1, np.int64)
+        DD = np.empty(nn + 1, np.int64)
+        CC[0] = tbs[k] + R * mm
+        DD[0] = tbs[k] + R * mm
+        CC[1:] = -bH2[k][:nn].astype(np.int64)
+        DD[1:] = -bF2[k][:nn].astype(np.int64)
+        out.append((CC, DD))
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("RB", "WC", "Q", "R", "interpret"),
+)
 def _sw_end_score(pq_blocks, s_chunks, *, RB, WC, Q, R, interpret):
     """SW grid fill with per-cell argmax-step tracking.
 

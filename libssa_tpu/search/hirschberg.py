@@ -117,6 +117,30 @@ def _mm_pass_any(q, s, cost, g, h, tb):
     return _mm_pass(q, s, cost, g, h, tb)
 
 
+def _mm_pass_pair_any(qf, qr, s_fwd, s_rev, cost, g, h, tb, te):
+    """Both divide passes of one recursion level, one dispatch when both
+    qualify for the device path and share a tile plan (they share ``n``
+    and differ in ``m`` by <=1, so they almost always do) — the warm
+    cost of a huge-pair traceback is round trips, not device compute."""
+    mf, nf, mr, nr = len(qf), len(s_fwd), len(qr), len(s_rev)
+    if tb in (0, g) and te in (0, g) and mf and nf and mr and nr:
+        sub = -cost
+        Q, R = g + h, h
+        if _device_ok(mf, nf, sub, Q, R) and _device_ok(mr, nr, sub, Q, R):
+            from ..ops.mm_device import mm_pass_rows_pair
+
+            out = mm_pass_rows_pair(
+                qf, s_fwd, tb == 0, qr, s_rev, te == 0,
+                _pad32(sub), Q, R, interpret=DEVICE_INTERPRET,
+            )
+            if out is not None:
+                return out
+    return (
+        _mm_pass_any(qf, s_fwd, cost, g, h, tb),
+        _mm_pass_any(qr, s_rev, cost, g, h, te),
+    )
+
+
 def _sw_end_any(q, s, sub, Q, R):
     if _device_ok(len(q), len(s), sub, Q, R):
         from ..ops.mm_device import sw_end_cell
@@ -153,8 +177,9 @@ def _nw_ops(q, s, cost, g, h, tb, te):
             return ["D"] + ["I"] * n
         return ["I"] * best_j + ["M"] + ["I"] * (n - best_j - 1)
     mid = m // 2
-    CCf, DDf = _mm_pass_any(q[:mid], s, cost, g, h, tb)
-    CCr, DDr = _mm_pass_any(_rev(q[mid:]), _rev(s), cost, g, h, te)
+    (CCf, DDf), (CCr, DDr) = _mm_pass_pair_any(
+        q[:mid], _rev(q[mid:]), s, _rev(s), cost, g, h, tb, te
+    )
     CCr, DDr = _rev(CCr), _rev(DDr)
     t1 = CCf + CCr  # crossing at (mid, j) in match/insert state
     t2 = DDf + DDr - g  # crossing inside one vertical gap (one open only)

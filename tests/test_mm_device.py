@@ -8,7 +8,11 @@ import numpy as np
 import pytest
 
 from libssa_tpu import matrices, oracle
-from libssa_tpu.ops.mm_device import mm_pass_rows, sw_end_cell
+from libssa_tpu.ops.mm_device import (
+    mm_pass_rows,
+    mm_pass_rows_pair,
+    sw_end_cell,
+)
 from libssa_tpu.search import hirschberg as hb
 
 B62 = matrices.builtin("BLOSUM62")
@@ -29,6 +33,43 @@ def test_mm_pass_rows_matches_host(m, n, tb0):
     wCC, wDD = hb._mm_pass(q, s, COST, G, H, 0 if tb0 else G)
     np.testing.assert_array_equal(CC, wCC)
     np.testing.assert_array_equal(DD, wDD)
+
+
+@pytest.mark.parametrize("tbs", [(False, False), (True, False), (False, True)])
+def test_mm_pass_rows_pair_matches_singles(tbs):
+    """One-dispatch divide level == two independent passes, bit-exact."""
+    rng = np.random.default_rng(sum(tbs) + 11)
+    m, n = 601, 240
+    mid = m // 2
+    q = rng.integers(0, 20, m).astype(np.intp)
+    s = rng.integers(0, 20, n).astype(np.intp)
+    qf, qr = q[:mid], q[mid:][::-1].copy()
+    sr = s[::-1].copy()
+    out = mm_pass_rows_pair(
+        qf, s, tbs[0], qr, sr, tbs[1], B62.padded(), Q, R,
+        RB=256, WC=256, interpret=True,
+    )
+    assert out is not None, "equal-n halves must share a tile plan"
+    for (CC, DD), (qq, ss, tb0) in zip(out, ((qf, s, tbs[0]), (qr, sr, tbs[1]))):
+        wCC, wDD = mm_pass_rows(
+            qq, ss, B62.padded(), Q, R, tb0, RB=256, WC=256, interpret=True
+        )
+        np.testing.assert_array_equal(CC, wCC)
+        np.testing.assert_array_equal(DD, wDD)
+
+
+def test_mm_pass_rows_pair_plan_mismatch_falls_back():
+    """Halves that cross a tile boundary (interpret plan differs by m)
+    return None -> the recursion falls back to two single passes."""
+    rng = np.random.default_rng(3)
+    q1 = rng.integers(0, 20, 250).astype(np.intp)   # RB snaps to 256
+    q2 = rng.integers(0, 20, 300).astype(np.intp)   # RB snaps to 512
+    s = rng.integers(0, 20, 200).astype(np.intp)
+    out = mm_pass_rows_pair(
+        q1, s, False, q2, s[::-1].copy(), False, B62.padded(), Q, R,
+        RB=256, WC=256, interpret=True,
+    )
+    assert out is None
 
 
 @pytest.mark.parametrize("m,n", [(50, 80), (300, 300), (430, 190)])
