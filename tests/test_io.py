@@ -184,6 +184,34 @@ def test_adaptive_lane_chunks_long_outlier():
     assert total_cells < 2048 * 1024 * 3  # far below 2048 lanes x 32768
 
 
+def test_bucket_ladder_properties():
+    """The r3 refined ladder: monotone, bounded shape set, documented steps."""
+    from libssa_tpu.io.db import SequenceDB
+
+    lad = SequenceDB._LADDER
+    assert lad == sorted(lad) and len(lad) == len(set(lad))
+    assert lad[0] == 320 and lad[-1] == 65536
+    # Step widths: 64 through 1024, then doubling per octave.
+    for lo, hi, step in ((320, 1024, 64), (1025, 2048, 128),
+                         (2049, 4096, 256), (4097, 8192, 512),
+                         (8193, 16384, 1024), (16385, 65536, 2048)):
+        band = [x for x in lad if lo <= x <= hi]
+        assert band and all(b % step == 0 for b in band)
+        assert all(b2 - b1 == step for b1, b2 in zip(band, band[1:]))
+    # _bucket_length: snaps up to the tightest rung; pow2 below 256;
+    # beyond the ladder it rounds to a 256-multiple (those lengths route
+    # to the long-pair path anyway).
+    bl = SequenceDB._bucket_length
+    assert bl(100, 32, True) == 128
+    assert bl(256, 32, True) == 256
+    assert bl(257, 32, True) == 320
+    assert bl(320, 32, True) == 320
+    assert bl(321, 32, True) == 384
+    assert bl(1025, 32, True) == 1152
+    assert bl(70_000, 32, True) % 256 == 0 and bl(70_000, 32, True) >= 70_000
+    assert bl(300, 32, False) == 320  # multiple-of-32 mode unchanged
+
+
 def test_translated_db_matches_per_record_loop(tmp_path):
     """Vectorized six-frame expansion == the naive per-record loop (r2)."""
     import numpy as np
