@@ -42,6 +42,9 @@ def _add_scoring_args(p: argparse.ArgumentParser):
     p.add_argument("--devices", type=int, default=None,
                    help="shard the DB over an N-device mesh (0 = all); "
                         "results identical to single-device")
+    p.add_argument("--platform", choices=["auto", "cpu", "tpu"], default="auto",
+                   help="pin the JAX backend (cpu = run anywhere; results "
+                        "are bit-identical across backends)")
 
 
 def _symtype(s):
@@ -49,6 +52,15 @@ def _symtype(s):
 
 
 def _configure(args):
+    platform = getattr(args, "platform", "auto")
+    if platform != "auto":
+        # Must land before the first computation. jax.config works even
+        # after `import jax`; the JAX_PLATFORMS env var alone is ignored
+        # once the axon PJRT plugin has registered itself.
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
     from .api import SSAContext
 
     ctx = SSAContext()
