@@ -97,10 +97,15 @@ def main():
     ap.add_argument("--seqs", type=int, default=20000)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--port", type=int, default=29517)
+    ap.add_argument(
+        "--configs", default="1x4,2x2",
+        help="comma-separated NPROCxDEVS_PER_PROC configs (e.g. 1x4,2x2,4x1); "
+             "keep total devices equal across configs for a meaningful ratio",
+    )
     args = ap.parse_args()
-    # Equal total devices: 1 proc x 4 devices, then 2 procs x 2 devices.
-    run_config(1, 4, args.seqs, args.iters, args.port)
-    run_config(2, 2, args.seqs, args.iters, args.port + 1)
+    for off, cfg in enumerate(args.configs.split(",")):
+        nproc, devs = (int(x) for x in cfg.lower().split("x"))
+        run_config(nproc, devs, args.seqs, args.iters, args.port + off)
 
 
 if __name__ == "__main__":
