@@ -342,6 +342,8 @@ class SSAContext:
         mode: ComputeMode,
         align_type: AlignType,
     ) -> AlignmentList:
+        if k < 0:
+            raise ValueError(f"hit count k must be >= 0, got {k}")
         engine = self._get_engine()
         search_db, orig_ids, frame_labels = self._search_db()
         local = align_type is AlignType.SW

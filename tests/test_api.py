@@ -217,6 +217,18 @@ class TestTranslatedSearch:
         assert by_header["rev_strand"].db_frame.startswith("-")
         assert by_header["fwd2"].db_frame == "+2"
 
+    def test_hit_count_edge_cases(self):
+        c = SSAContext()
+        c.init_symbol_translation(SymType.AMINOACID)
+        c.init_score_matrix("BLOSUM62")
+        c.init_gap_penalties(10, 1)
+        c.init_db_fasta(">a\nMKVLAAGW\n>b\nMKVIGAGW\n")
+        q = c.init_sequence_fasta("MKVLAAGW")
+        assert len(c.sw_align(q, k=0)) == 0
+        assert len(c.sw_align(q, k=100)) == 2  # clamped to DB size
+        with pytest.raises(ValueError, match="k must be"):
+            c.sw_align(q, k=-1)
+
     def test_mismatched_alphabets_raise(self):
         c = SSAContext()
         c.init_symbol_translation(SymType.AMINOACID, db_symtype=SymType.AMINOACID)
