@@ -50,9 +50,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import PADDED_ALPHABET
+from . import interseq
 
 NEG_F32 = float(-(2.0**24))  # -inf surrogate, exact in f32
 VMEM_BUDGET = 14 * 1024 * 1024  # leave headroom below the ~16MB/core VMEM
+
+
+def query_fits_vmem(m: int, n_pad: int) -> bool:
+    """True iff a (padded) m-row query leaves room for one 128-lane tile.
+
+    Mirrors ``_build``'s budget: 4 (m,) f32 arrays per lane plus the
+    accumulator rows and one double-buffered subject block. Past ~7k query
+    rows no lane tile fits and Mosaic compilation would fail; callers
+    should fall back to the HBM-state scan kernel.
+    """
+    m += (-m) % 32
+    n_blk = min(n_pad + n_pad % 2, 256)
+    per_lane = 4 * m * 4 + 2 * 8 * 4 + 2 * n_blk * 4
+    return (VMEM_BUDGET // per_lane) >= 128
 
 
 def _kernel(
@@ -349,6 +364,16 @@ def interseq_scores_pallas(
     """
     del use_matmul, dtype
     m = profile.shape[0]
+    if not query_fits_vmem(m, subjects_T.shape[0]):
+        # The DP state is (m, lanes) resident in VMEM; below one full
+        # 128-lane tile the kernel cannot be tiled into the budget, so a
+        # giant query (> ~7k rows) would fail Mosaic compilation. The XLA
+        # scan kernel is bit-identical (locked by tests) and keeps state
+        # in HBM — the right venue for this rare shape.
+        return interseq.interseq_scores(
+            profile, subjects_T, lengths, gap_q, gap_r, local=local,
+            track_range=track_range, m_real=m_real,
+        )
     mr = m_real if m_real is not None else m
     pad_m = (-m) % 32
     if pad_m:

@@ -141,3 +141,53 @@ def test_pallas_internal_m_padding(local):
         fn = oracle.sw_score if local else oracle.nw_score
         expect = [fn(q, sq, B62.scores, 10, 1) for sq in seqs]
         np.testing.assert_array_equal(s, expect)
+
+
+def test_giant_query_falls_back_to_scan_kernel():
+    """Queries past the VMEM-practical bound delegate to the scan kernel.
+
+    The (m, lanes) DP state cannot tile into VMEM below one 128-lane
+    tile (~7k query rows); the wrapper must route to the bit-identical
+    HBM-state scan kernel instead of failing Mosaic compilation. The
+    delegation happens before any Pallas machinery, so this exercises
+    the REAL fallback path even on CPU (no interpret flag).
+    """
+    import jax.numpy as jnp
+
+    from libssa_tpu.ops import interseq
+    from libssa_tpu.ops.interseq_pallas import (
+        interseq_scores_pallas,
+        query_fits_vmem,
+    )
+
+    assert query_fits_vmem(256, 512)
+    assert query_fits_vmem(6000, 512)
+    assert not query_fits_vmem(8000, 512)
+    assert not query_fits_vmem(100_000, 512)
+
+    rng = np.random.default_rng(9)
+    m = 8000
+    q = rng.integers(0, 20, m).astype(np.uint8)
+    profile = make_profile(q, PADDED)
+    codes, lengths, _ = _random_batch(rng, 8, 20, 60)
+    s, hi, lo = interseq_scores_pallas(
+        jnp.asarray(profile, jnp.int32),
+        jnp.asarray(codes.T, jnp.int32),
+        jnp.asarray(lengths, jnp.int32),
+        jnp.int32(11),
+        jnp.int32(1),
+        local=True,
+        track_range=True,
+    )
+    ss, shi, slo = interseq.interseq_scores(
+        jnp.asarray(profile, jnp.int32),
+        jnp.asarray(codes.T, jnp.int32),
+        jnp.asarray(lengths, jnp.int32),
+        jnp.int32(11),
+        jnp.int32(1),
+        local=True,
+        track_range=True,
+    )
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(ss))
+    np.testing.assert_array_equal(np.asarray(hi), np.asarray(shi))
+    np.testing.assert_array_equal(np.asarray(lo), np.asarray(slo))
