@@ -43,15 +43,15 @@ def main():
     pq_j = jnp.asarray(pq).astype(jnp.bfloat16)
     s1 = jnp.asarray(s_chunks[0])
     s2 = jnp.asarray(s_chunks[1])
-    kw = dict(RB=RB, WC=WC, Q=11, R=1, local=True, interpret=False, m=M, n=N)
+    kw = dict(RB=RB, WC=WC, Q=11, R=1, local=True, interpret=False)
 
     @jax.jit
     def one(pq, sa):
-        return tp._tiled_score(pq, sa, **kw)
+        return tp._tiled_score(pq, sa, jnp.int32(M), jnp.int32(N), **kw)
 
     @jax.jit
     def two(pq, sa, sb):
-        return tp._tiled_score(pq, sa, **kw) + tp._tiled_score(pq, sb, **kw)
+        return tp._tiled_score(pq, sa, jnp.int32(M), jnp.int32(N), **kw) + tp._tiled_score(pq, sb, jnp.int32(M), jnp.int32(N), **kw)
 
     np.asarray(one(pq_j, s1)); np.asarray(two(pq_j, s1, s2))
     t1 = min(_t(lambda: np.asarray(one(pq_j, s1))) for _ in range(3))

@@ -151,9 +151,26 @@ def longpair_score_scan(
 
 
 def score_bound(m: int, n: int, matrix: np.ndarray, Q: int, R: int) -> int:
-    """A-priori bound on |H| anywhere in the DP (f32-window precheck)."""
-    mx = int(np.abs(np.asarray(matrix)).max())
-    return min(m, n) * mx + Q + max(m, n) * R
+    """A-priori bound on |H| anywhere in the DP (f32-window precheck).
+
+    Accepts the raw score table OR a kernel-padded one (``Matrix.padded``
+    fills unused rows/cols with -64): uniform pad rows are stripped before
+    taking the max so the -64 fill doesn't inflate the bound ~6x and
+    silently route genome-scale pairs off the kernel-rate f32 path. Pad
+    CELLS do participate in the padded kernels' DP, but a pad run only
+    adds ``64 * run`` magnitude and runs are bounded by the kernels' pad
+    multiples (<= 256 rows + 512 cols); a flat slack covers them.
+    """
+    matrix = np.asarray(matrix)
+    fill = matrix[-1, -1]
+    real_rows = ~np.all(matrix == fill, axis=1)
+    pad_slack = 0
+    if real_rows.any() and not real_rows.all():
+        a = int(np.nonzero(real_rows)[0].max()) + 1
+        matrix = matrix[:a, :a]
+        pad_slack = 64 * 1024  # > 64 * max pad run across all kernels
+    mx = int(np.abs(matrix).max())
+    return min(m, n) * mx + Q + max(m, n) * R + pad_slack
 
 
 def longpair_score(

@@ -403,7 +403,23 @@ def _sw_end_score(pq_blocks, s_chunks, *, RB, WC, Q, R, interpret):
         (topH0, topF0),
         (pq_blocks, jnp.arange(Rb, dtype=jnp.int32)),
     )
-    return accs, tbests
+    # Reduce the argmax + (smallest gi, then gj) tie-break ON DEVICE: the
+    # per-tile stacks are (Rb, Cc, 8, B) — hundreds of MB for giant pairs
+    # — while the caller only needs three scalars, and the serving-link
+    # fetch is ~7 MB/s (docs/PERF_NOTES.md).
+    shape = accs.shape  # (Rb, Cc, 8, B)
+    rblk = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cblk = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    r8 = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    band = jax.lax.broadcasted_iota(jnp.int32, shape, 3)
+    gi = rblk * RB + band * 8 + r8 + 1
+    gj = cblk * WC + (tbests.astype(jnp.int32) - band) + 1
+    best = jnp.max(accs)
+    mask = accs == best
+    BIG = jnp.int32(2**30)
+    min_gi = jnp.min(jnp.where(mask, gi, BIG))
+    min_gj = jnp.min(jnp.where(mask & (gi == min_gi), gj, BIG))
+    return best, min_gi, min_gj
 
 
 def sw_end_cell(
@@ -422,23 +438,19 @@ def sw_end_cell(
     m, n = len(q_codes), len(s_codes)
     Q, R = int(gap_q), int(gap_r)
     RB, WC, T, B, Rb, Cc = _plan(m, n, RB, WC, interpret)
-    accs, tbests = _sw_end_score(
+    best, gi, gj = _sw_end_score(
         jnp.asarray(_pq_blocks(q_codes, matrix_padded, Rb, RB, B)).astype(
             jnp.bfloat16
         ),
         jnp.asarray(_s_chunks(s_codes, Cc, WC, T)),
         RB=RB, WC=WC, Q=Q, R=R, interpret=bool(interpret),
     )
-    accs = np.asarray(accs)  # (Rb, Cc, 8, B)
-    tbests = np.asarray(tbests, np.int64)
-    best = int(accs.max())
+    # Three scalars fetched; the argmax + (smallest i, then j) tie-break
+    # — the oracle's convention; the latched step t inside the kernel
+    # gives tau = t - band, i.e. earliest == smallest j per cell —
+    # reduced on device (the per-tile stacks would be a multi-hundred-MB
+    # fetch for giant pairs).
+    best = int(np.asarray(best))
     if best <= 0:
         return 0, 0, 0
-    rblk, cblk, r8, band = np.nonzero(accs == best)
-    # Global coordinates per candidate cell; the latched step t gives the
-    # tile-local column tau = t - band (earliest == smallest j per cell).
-    gi = rblk * RB + band * 8 + r8 + 1
-    gj = cblk * WC + (tbests[rblk, cblk, r8, band] - band) + 1
-    order = np.lexsort((gj, gi))
-    k = order[0]
-    return best, int(gi[k]), int(gj[k])
+    return best, int(np.asarray(gi)), int(np.asarray(gj))

@@ -51,11 +51,14 @@ def _nw_col(i, Q, R):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("RB", "WC", "Q", "R", "local", "interpret", "m", "n"),
+    static_argnames=("RB", "WC", "Q", "R", "local", "interpret"),
 )
 def _tiled_score(
     pq_blocks,  # (Rb, 32, 8, B) bf16 per-row-block query planes
     s_chunks,  # (Cc, T) int32 per-chunk subject codes (PAD-tailed)
+    m,  # traced int32: real query length (pair sizes vary continuously;
+    n,  # traced int32: real subject length   a retrace per size would
+    #    cost tens of seconds each via the remote-compile tunnel)
     *,
     RB: int,
     WC: int,
@@ -63,8 +66,6 @@ def _tiled_score(
     R: int,
     local: bool,
     interpret: bool,
-    m: int,
-    n: int,
 ):
     T, B = tile_shapes(RB, WC, interpret)
     Rb = pq_blocks.shape[0]
@@ -205,42 +206,33 @@ def tiled_pair_score(
 ) -> int:
     """Exact SW/NW score of one pair of ANY size, one device, one dispatch.
 
-    Caller contract: |score| < 2**24 (``longpair.score_bound``). Tile
-    grid compilations key on (RB, WC, gaps, mode) only.
+    Caller contract: |score| < 2**24 (``longpair.score_bound``).
+    Compilations key on (RB, WC, gaps, mode) and the POW2-ROUNDED grid
+    dims only: the real (m, n) are traced scalars and the tile ladder /
+    grid rounding is shared with ``mm_device._plan``, so continuously
+    varying giant-pair sizes hit a bounded, persistently cached shape
+    set instead of a retrace per distinct size.
     """
     m, n = len(q_codes), len(s_codes)
     if m == 0 or n == 0:
         raise ValueError("use longpair.longpair_score for empty inputs")
-    PAD = PADDED_ALPHABET - 1
-    RB = int(min(RB, max(256, -(-m // 256) * 256)))
-    WC = int(min(WC, max(256, -(-n // 256) * 256)))
-    T, B = tile_shapes(RB, WC, interpret)
-    Rb = -(-m // RB)
-    Cc = -(-n // WC)
+    from .mm_device import _plan, _pq_blocks, _s_chunks
 
-    q_full = np.full((Rb * RB,), PAD, np.int64)
-    q_full[:m] = np.asarray(q_codes, np.int64)
-    qprof = np.asarray(matrix_padded)[q_full]  # (Rb*RB, 32)
-    pq_blocks = np.ascontiguousarray(
-        qprof.reshape(Rb, B, 8, PADDED_ALPHABET).transpose(0, 3, 2, 1)
-    ).astype(np.float32)
-
-    s_chunks = np.full((Cc, T), PAD, np.int32)
-    s_flat = np.full((Cc * WC,), PAD, np.int32)
-    s_flat[:n] = np.asarray(s_codes, np.int32)
-    s_chunks[:, :WC] = s_flat.reshape(Cc, WC)
+    RB, WC, T, B, Rb, Cc = _plan(m, n, RB, WC, interpret)
+    pq_blocks = _pq_blocks(q_codes, matrix_padded, Rb, RB, B)
+    s_chunks = _s_chunks(s_codes, Cc, WC, T)
 
     return int(
         _tiled_score(
             jnp.asarray(pq_blocks).astype(jnp.bfloat16),
             jnp.asarray(s_chunks),
+            jnp.int32(m),
+            jnp.int32(n),
             RB=RB,
             WC=WC,
             Q=int(gap_q),
             R=int(gap_r),
             local=bool(local),
             interpret=bool(interpret),
-            m=m,
-            n=n,
         )
     )

@@ -725,9 +725,21 @@ class ShardedSearchEngine:
         scores = np.concatenate(all_s)
         ids = np.concatenate(all_i)
         if flagged and any(len(f) for f in flagged):
-            # Ladder rescore of overflowed subjects on the fallback engine.
             over = np.unique(np.concatenate(flagged)).astype(np.int32)
             stats.rescored[f"limit>{eff_limit}"] = len(over)
+        else:
+            over = np.empty(0, np.int32)
+        if len(over) and self._fallback._window_risk(m_real):
+            # Genuine f32-window risk: real rescore on the fallback
+            # engine. Emulated-width flags ALONE are elided exactly as in
+            # SearchEngine._ladder_search_device — the sweep runs in f32
+            # and its scores are already exact inside the window, so the
+            # rescore would re-derive identical values. This matters
+            # doubly for NW, where the kernel's static per-lane lo bound
+            # (interseq_pallas: -(2Q+(m+n-2)R)-margin) flags nearly every
+            # lane at narrow widths; without the elision a sharded NW
+            # BIT8 search rescored the whole DB on the single-device
+            # fallback, defeating the mesh.
             sub = self.db.subset(over)
             rescored = self._fallback.__class__(
                 sub, self.matrix, self.gap_open, self.gap_extend, self.params

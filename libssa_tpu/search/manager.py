@@ -317,15 +317,20 @@ class SearchEngine:
     def _window_risk(self, m: int) -> bool:
         """Could any |score| leave the exact f32 integer window?
 
-        Conservative a-priori bound (ops/longpair.score_bound's shape):
+        Conservative a-priori bound via ``ops.longpair.score_bound`` on
+        the PADDED table (strips the -64 fill from the max but keeps a
+        slack for pad-cell runs, which the padded sweeps do compute):
         min(m, L) * max|sub| covers the positive side, the gap terms the
         NW negative side. int32 compute is always exact.
         """
         if self.params.dtype != "float32":
             return False
+        from ..ops.longpair import score_bound
+
         L = int(self.db.lengths.max()) if len(self.db) else 0
-        mx = int(np.abs(self.matrix.scores).max())
-        bound = min(m, L) * mx + int(self.gap_q) + max(m, L) * int(self.gap_r)
+        bound = score_bound(
+            m, L, self.matrix.padded(), int(self.gap_q), int(self.gap_r)
+        )
         return bound >= F32_WINDOW
 
     def _ladder_search_device(self, q_codes, k, local, bit_width, stats):

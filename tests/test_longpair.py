@@ -83,6 +83,21 @@ def test_score_bound_monotone():
     assert score_bound(10**6, 10**6, B62.scores, 11, 1) >= 2**23
 
 
+def test_score_bound_ignores_pad_fill():
+    """The -64 pad fill must not inflate the bound (it routed genome-scale
+    pairs off the kernel-rate f32 path: 300k pairs bounded 19.5M > 2**24
+    with the padded max instead of the true ~3.6M)."""
+    raw = score_bound(300_000, 300_000, B62.scores, 12, 1)
+    padded = score_bound(300_000, 300_000, B62.padded(), 12, 1)
+    assert raw < 2**24
+    assert padded < 2**24  # stays on the f32 kernel path
+    # padded adds only the bounded pad-run slack, not 64-per-residue
+    assert raw <= padded <= raw + 64 * 1024
+    # uniform constant matrix (no pad rows): stripping must not misfire
+    cm = matrices.constant_scoring(1, -1, B62.symtype)
+    assert score_bound(100, 100, cm.scores, 5, 1) == 100 * 1 + 5 + 100 * 1
+
+
 @pytest.mark.parametrize("local", [True, False], ids=["sw", "nw"])
 def test_pallas_interpret_matches_oracle(local):
     """The Pallas kernel (interpret mode on CPU) is bit-exact, including

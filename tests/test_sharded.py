@@ -66,6 +66,47 @@ def test_sharded_ladder_with_overflow():
     assert i2[0] == 4 and s2[0] > 255  # the engineered overflow hit
 
 
+def test_sharded_ladder_elides_redundant_rescore():
+    """Emulated-width flags alone must NOT trigger the fallback rescore
+    when the f32 window bound holds (the sweep scores are already exact).
+    NW makes this acute: the pallas kernel's static per-lane lo bound
+    flags nearly every lane at narrow widths — pre-fix, a sharded NW BIT8
+    search rescored the whole DB on the single-device engine."""
+    from libssa_tpu.search.manager import SearchStats
+
+    db = _db(30, seed=3, minlen=70, maxlen=90)
+    q = db.sequence(4).copy()
+    mesh = make_db_mesh(4)
+    params = SearchParams(batch_size=8)
+    for local in (True, False):
+        sharded = ShardedSearchEngine(db, B62, 10, 1, mesh, params)
+        calls = []
+        orig = db.subset
+        db.subset = lambda ids: (calls.append(len(ids)), orig(ids))[1]
+        try:
+            stats = SearchStats()
+            s2, i2 = sharded.search(
+                q, k=5, local=local, bit_width=BitWidth.BIT8, stats=stats
+            )
+        finally:
+            db.subset = orig
+        single = SearchEngine(db, B62, 10, 1, params)
+        s1, i1 = single.search(q, k=5, local=local, bit_width=BitWidth.BIT8)
+        np.testing.assert_array_equal(s1, s2)
+        np.testing.assert_array_equal(i1, i2)
+        assert stats.rescored, "rung stats must still record the flags"
+        assert not calls, f"local={local}: fallback rescore ran ({calls})"
+
+    # A genuine window risk must still run the real rescue, bit-identically.
+    sharded = ShardedSearchEngine(db, B62, 10, 1, mesh, params)
+    sharded._fallback._window_risk = lambda m: True
+    s3, i3 = sharded.search(q, k=5, local=True, bit_width=BitWidth.BIT8)
+    single = SearchEngine(db, B62, 10, 1, params)
+    s1, i1 = single.search(q, k=5, local=True, bit_width=BitWidth.BIT8)
+    np.testing.assert_array_equal(s1, s3)
+    np.testing.assert_array_equal(i1, i3)
+
+
 def test_uneven_shard_sizes():
     """DB size not divisible by device count: padding lanes must not leak."""
     db = _db(13, seed=5)
