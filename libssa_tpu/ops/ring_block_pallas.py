@@ -378,3 +378,11 @@ def banded_tile(
         bool(interpret), bool(track_pos),
     )
     return run
+
+
+def nw_boundary(i, Q, R):
+    """NW boundary value H[i][0] == H[0][i] (formula row/column): 0 at
+    i <= 0, else -(Q + (i-1) R). Shared by every tile-chaining wrapper
+    (tiled_pair, ring) so the boundary convention lives in ONE place."""
+    fi = jnp.asarray(i).astype(jnp.float32)
+    return jnp.where(fi <= 0, 0.0, -(Q + (fi - 1.0) * R))

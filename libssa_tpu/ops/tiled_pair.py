@@ -38,15 +38,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import PADDED_ALPHABET
-from .ring_block_pallas import banded_tile, tile_shapes
+from .ring_block_pallas import banded_tile, nw_boundary, tile_shapes
 
 NEG_F32 = float(-(2.0**24))
 SENTINEL = -(2**30)
-
-
-def _nw_col(i, Q, R):
-    fi = i.astype(jnp.float32)
-    return jnp.where(fi <= 0, 0.0, -(Q + (fi - 1.0) * R))
 
 
 @functools.partial(
@@ -88,14 +83,14 @@ def _tiled_score(
             lH0 = jnp.zeros((RB,), jnp.float32)
             lD0 = jnp.zeros((B,), jnp.float32)
         else:
-            lH0 = _nw_col(rows, Qf, Rf)
-            lD0 = _nw_col(rows.reshape(B, 8)[:, 0] - 1, Qf, Rf)
+            lH0 = nw_boundary(rows, Qf, Rf)
+            lD0 = nw_boundary(rows.reshape(B, 8)[:, 0] - 1, Qf, Rf)
         lE0 = jnp.full((RB,), NEG_F32, jnp.float32)
         # Corner-first extended top stream H[i0-1][0..n_pad].
         if local:
             corner0 = jnp.zeros((1,), jnp.float32)
         else:
-            corner0 = _nw_col(jnp.asarray([i0 - 1], jnp.int32), Qf, Rf)
+            corner0 = nw_boundary(jnp.asarray([i0 - 1], jnp.int32), Qf, Rf)
         topH_ext = jnp.concatenate([corner0, botH_full])  # (n_pad+1,)
 
         def chunk(ccarry, cxs):

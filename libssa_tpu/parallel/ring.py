@@ -30,6 +30,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..constants import PADDED_ALPHABET
+from ..ops.ring_block_pallas import nw_boundary
 
 NEG = jnp.float32(-(2.0**24))
 
@@ -119,12 +120,6 @@ def _tile_sweep(
     return right_H, Ecol, bottom_H, bot_F, best, cap
 
 
-def _nw_col_boundary(i, Q, R):
-    """H[i][0] boundary (vector/scalar i >= 0)."""
-    fi = i.astype(jnp.float32)
-    return jnp.where(fi <= 0, 0.0, -(Q + (fi - 1.0) * R))
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "RB", "local", "m_real", "n_real"),
@@ -168,7 +163,7 @@ def ring_pair_score(
             top_H = jnp.zeros((W + 1,), jnp.float32)
         else:
             js = col0 + jnp.arange(W + 1, dtype=jnp.int32)
-            top_H = _nw_col_boundary(js, Qf, Rf)  # row 0 boundary H[0][j]
+            top_H = nw_boundary(js, Qf, Rf)  # row 0 boundary H[0][j]
         top_F = jnp.full((W,), NEG, jnp.float32)
         inbox_H = jnp.zeros((RB + 1,), jnp.float32)
         inbox_E = jnp.full((RB,), NEG, jnp.float32)
@@ -190,7 +185,7 @@ def ring_pair_score(
             if local:
                 edge_H = jnp.zeros((RB + 1,), jnp.float32)
             else:
-                edge_H = _nw_col_boundary(rows, Qf, Rf)
+                edge_H = nw_boundary(rows, Qf, Rf)
             edge_E = jnp.full((RB,), NEG, jnp.float32)
             left_H = jnp.where(d == 0, edge_H, inbox_H)
             left_E = jnp.where(d == 0, edge_E, inbox_E)
@@ -332,8 +327,8 @@ def ring_pair_score_banded(
                 lH0 = jnp.zeros((B, 8), jnp.float32)
                 lD0 = jnp.zeros((1, B), jnp.float32)
             else:
-                lH0 = _nw_col_boundary(rows, Qf, Rf).reshape(B, 8)
-                lD0 = _nw_col_boundary(
+                lH0 = nw_boundary(rows, Qf, Rf).reshape(B, 8)
+                lD0 = nw_boundary(
                     rows.reshape(B, 8)[:, 0] - 1, Qf, Rf
                 ).reshape(1, B)
             is0 = d == 0
@@ -359,7 +354,7 @@ def ring_pair_score_banded(
                     corner_row0,
                     jnp.where(
                         is0,
-                        _nw_col_boundary(i0 - 1, Qf, Rf),
+                        nw_boundary(i0 - 1, Qf, Rf),
                         corner_state,
                     ),
                 )
