@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import PADDED_ALPHABET
-from .ring_block_pallas import banded_tile, tile_shapes
+from .ring_block_pallas import banded_tile, tile_shapes, top_stream_chunks
 
 NEG_F32 = float(-(2.0**24))
 SENTINEL = -(2**30)
@@ -155,28 +155,9 @@ def _rows_score(
             )
             return (rH, rE), (bH, bF)
 
-        cs = jnp.arange(Cc, dtype=jnp.int32)
-        pos = jnp.arange(T + 1)
-        topH_chunks = jax.vmap(
-            lambda c: jax.lax.dynamic_slice(
-                jnp.concatenate(
-                    [topH_ext, jnp.full((T,), NEG_F32, jnp.float32)]
-                ),
-                (c * WC,),
-                (T + 1,),
-            )
-        )(cs)
-        topH_chunks = jnp.where(pos[None, :] <= WC, topH_chunks, NEG_F32)
-        topF_chunks = jax.vmap(
-            lambda c: jax.lax.dynamic_slice(
-                jnp.concatenate(
-                    [botF_full, jnp.full((T,), NEG_F32, jnp.float32)]
-                ),
-                (c * WC,),
-                (T,),
-            )
-        )(cs)
-        topF_chunks = jnp.where(pos[None, :-1] < WC, topF_chunks, NEG_F32)
+        cs, topH_chunks, topF_chunks = top_stream_chunks(
+            topH_ext, botF_full, Cc, WC, T
+        )
 
         _, (bHs, bFs) = jax.lax.scan(
             chunk,
@@ -363,28 +344,9 @@ def _sw_end_score(pq_blocks, s_chunks, *, RB, WC, Q, R, interpret):
             )
             return (rH, rE), (acc, tbest, bH, bF)
 
-        cs = jnp.arange(Cc, dtype=jnp.int32)
-        pos = jnp.arange(T + 1)
-        topH_chunks = jax.vmap(
-            lambda c: jax.lax.dynamic_slice(
-                jnp.concatenate(
-                    [topH_ext, jnp.full((T,), NEG_F32, jnp.float32)]
-                ),
-                (c * WC,),
-                (T + 1,),
-            )
-        )(cs)
-        topH_chunks = jnp.where(pos[None, :] <= WC, topH_chunks, NEG_F32)
-        topF_chunks = jax.vmap(
-            lambda c: jax.lax.dynamic_slice(
-                jnp.concatenate(
-                    [botF_full, jnp.full((T,), NEG_F32, jnp.float32)]
-                ),
-                (c * WC,),
-                (T,),
-            )
-        )(cs)
-        topF_chunks = jnp.where(pos[None, :-1] < WC, topF_chunks, NEG_F32)
+        cs, topH_chunks, topF_chunks = top_stream_chunks(
+            topH_ext, botF_full, Cc, WC, T
+        )
 
         _, (accs, tbests, bHs, bFs) = jax.lax.scan(
             chunk,

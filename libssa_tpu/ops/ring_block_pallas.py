@@ -386,3 +386,35 @@ def nw_boundary(i, Q, R):
     (tiled_pair, ring) so the boundary convention lives in ONE place."""
     fi = jnp.asarray(i).astype(jnp.float32)
     return jnp.where(fi <= 0, 0.0, -(Q + (fi - 1.0) * R))
+
+
+def top_stream_chunks(topH_ext, botF_full, Cc, WC, T):
+    """Per-chunk top-stream views for one row block, with drain isolation.
+
+    ``topH_ext``: (n_pad+1,) corner-first extended H stream of the row
+    above; ``botF_full``: (n_pad,) F stream. Chunk c reads its corner +
+    WC columns; beyond its own real columns the stream is forced to NEG
+    (a drain-phase lane must decay, never read the next chunk's data).
+    Returns ``(cs, topH_chunks (Cc, T+1), topF_chunks (Cc, T))`` — the
+    per-chunk scan inputs shared by every tile-chaining wrapper
+    (tiled_pair, mm_device row passes, SW end-cell sweep).
+    """
+    cs = jnp.arange(Cc, dtype=jnp.int32)
+    pos = jnp.arange(T + 1)
+    topH_chunks = jax.vmap(
+        lambda c: jax.lax.dynamic_slice(
+            jnp.concatenate([topH_ext, jnp.full((T,), NEG_F32, jnp.float32)]),
+            (c * WC,),
+            (T + 1,),
+        )
+    )(cs)
+    topH_chunks = jnp.where(pos[None, :] <= WC, topH_chunks, NEG_F32)
+    topF_chunks = jax.vmap(
+        lambda c: jax.lax.dynamic_slice(
+            jnp.concatenate([botF_full, jnp.full((T,), NEG_F32, jnp.float32)]),
+            (c * WC,),
+            (T,),
+        )
+    )(cs)
+    topF_chunks = jnp.where(pos[None, :-1] < WC, topF_chunks, NEG_F32)
+    return cs, topH_chunks, topF_chunks

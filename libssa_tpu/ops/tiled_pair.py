@@ -38,7 +38,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import PADDED_ALPHABET
-from .ring_block_pallas import banded_tile, nw_boundary, tile_shapes
+from .ring_block_pallas import (
+    banded_tile,
+    nw_boundary,
+    tile_shapes,
+    top_stream_chunks,
+)
 
 NEG_F32 = float(-(2.0**24))
 SENTINEL = -(2**30)
@@ -126,31 +131,9 @@ def _tiled_score(
             cap_val = jnp.take(cap[0], band)
             return (rH, rE), (jnp.max(acc), cap_val, bH, bF)
 
-        cs = jnp.arange(Cc, dtype=jnp.int32)
-        # Per-chunk top streams: corner + Wc entries + NEG drain tail.
-        topH_chunks = jax.vmap(
-            lambda c: jax.lax.dynamic_slice(
-                jnp.concatenate(
-                    [topH_ext, jnp.full((T,), NEG_F32, jnp.float32)]
-                ),
-                (c * WC,),
-                (T + 1,),
-            )
-        )(cs)
-        # Beyond each chunk's own WC columns the stream must read NEG,
-        # not the next chunk's data (drain isolation).
-        pos = jnp.arange(T + 1)
-        topH_chunks = jnp.where(pos[None, :] <= WC, topH_chunks, NEG_F32)
-        topF_chunks = jax.vmap(
-            lambda c: jax.lax.dynamic_slice(
-                jnp.concatenate(
-                    [botF_full, jnp.full((T,), NEG_F32, jnp.float32)]
-                ),
-                (c * WC,),
-                (T,),
-            )
-        )(cs)
-        topF_chunks = jnp.where(pos[None, :-1] < WC, topF_chunks, NEG_F32)
+        cs, topH_chunks, topF_chunks = top_stream_chunks(
+            topH_ext, botF_full, Cc, WC, T
+        )
 
         (rH_f, rE_f), (accs, caps, bHs, bFs) = jax.lax.scan(
             chunk,
