@@ -154,7 +154,14 @@ def run_soak(trials: int, seed: int) -> dict:
             for _ in range(n_seqs)
         ]
         # Occasionally plant a homolog to force ladder overflows.
-        q = trng.integers(0, a, int(trng.integers(1, 200))).astype(np.uint8)
+        if trng.integers(0, 16) == 0:
+            # Giant query (past the interseq VMEM bound): exercises the
+            # pallas wrapper's scan-kernel delegation (query_fits_vmem).
+            q = trng.integers(0, a, int(trng.integers(7200, 9500))).astype(
+                np.uint8
+            )
+        else:
+            q = trng.integers(0, a, int(trng.integers(1, 200))).astype(np.uint8)
         if trng.integers(0, 2) == 0 and len(q) >= 4:
             seqs[0] = np.tile(q, 1 + int(trng.integers(0, 3)))[: maxlen or 1]
         db = SequenceDB.from_sequences(
