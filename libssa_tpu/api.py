@@ -191,15 +191,29 @@ class SSAContext:
 
     def init_sequence_fasta(self, path_or_seq: str, header: str = "query") -> Query:
         """Read a query from FASTA (file or text) or a bare sequence string."""
-        if path_or_seq.lstrip().startswith(">") or "\n" not in path_or_seq:
-            try:
-                recs = list(fasta.iter_fasta(path_or_seq))
-                header, seq = recs[0]
-            except (FileNotFoundError, ValueError, IndexError):
-                seq = path_or_seq  # bare sequence string
-        else:
+        import os
+
+        if os.path.exists(path_or_seq):
+            # An existing file must parse as FASTA: falling back to "bare
+            # sequence" here would silently search the letter-stripped
+            # PATH STRING as a query (exit 0, garbage hits).
             recs = list(fasta.iter_fasta(path_or_seq))
+            if not recs:
+                raise ValueError(f"{path_or_seq!r}: no FASTA records")
             header, seq = recs[0]
+        elif path_or_seq.lstrip().startswith(">") or "\n" in path_or_seq:
+            recs = list(fasta.iter_fasta(path_or_seq))
+            if not recs:
+                raise ValueError("query FASTA text has no records")
+            header, seq = recs[0]
+        elif "/" in path_or_seq or path_or_seq.lower().endswith(
+            (".fa", ".fas", ".fasta", ".fna", ".faa", ".txt", ".gz")
+        ):
+            raise FileNotFoundError(
+                f"query file {path_or_seq!r} does not exist"
+            )
+        else:
+            seq = path_or_seq  # bare sequence string
         codes = alphabet.encode(seq, self.symtype)
         seqs = [("+", codes)]
         if self.symtype is SymType.NUCLEOTIDE:
@@ -334,6 +348,25 @@ class SSAContext:
                 )
         return self._engine
 
+    def _fill_traceback(self, hit: Alignment, qc, sc, local: bool) -> None:
+        """Traceback + decoration of one hit (COMPUTE_ALIGNMENT).
+
+        Cross-checks the traceback score against the search score
+        (ScoreMismatchError on disagreement) — the one block every
+        alignment-producing path must share verbatim.
+        """
+        tb = aligner.align_pair(
+            qc, sc, self.matrix.scores, self.gap_open, self.gap_extend,
+            local, self.params.first_residue_opens,
+        )
+        _check_scores_match(tb.score, hit.score)
+        hit.q_begin, hit.q_end = tb.q_begin, tb.q_end
+        hit.s_begin, hit.s_end = tb.s_begin, tb.s_end
+        hit.cigar = tb.cigar
+        hit.aligned = tb.aligned_strings(
+            qc, sc, lambda c: alphabet.decode(c, self.matrix.symtype)
+        )
+
     def _align(
         self,
         query: Query,
@@ -387,18 +420,7 @@ class SSAContext:
                     strand=label,
                 )
                 if mode is ComputeMode.ALIGNMENT:
-                    sc = search_db.sequence(rid)
-                    tb = aligner.align_pair(
-                        codes, sc, self.matrix.scores,
-                        self.gap_open, self.gap_extend, local,
-                        self.params.first_residue_opens,
-                    )
-                    _check_scores_match(tb.score, hit.score)
-                    hit.q_begin, hit.q_end = tb.q_begin, tb.q_end
-                    hit.s_begin, hit.s_end = tb.s_begin, tb.s_end
-                    hit.cigar = tb.cigar
-                    dec = lambda c: alphabet.decode(c, self.matrix.symtype)
-                    hit.aligned = tb.aligned_strings(codes, sc, dec)
+                    self._fill_traceback(hit, codes, search_db.sequence(rid), local)
                 hits.append(hit)
             return AlignmentList(hits=hits, stats=stats)
 
@@ -434,18 +456,7 @@ class SSAContext:
                     ),
                 )
                 if mode is ComputeMode.ALIGNMENT:
-                    sc = search_db.sequence(entry)
-                    tb = aligner.align_pair(
-                        qc, sc, self.matrix.scores,
-                        self.gap_open, self.gap_extend, local,
-                        self.params.first_residue_opens,
-                    )
-                    _check_scores_match(tb.score, hit.score)
-                    hit.q_begin, hit.q_end = tb.q_begin, tb.q_end
-                    hit.s_begin, hit.s_end = tb.s_begin, tb.s_end
-                    hit.cigar = tb.cigar
-                    dec = lambda c: alphabet.decode(c, self.matrix.symtype)
-                    hit.aligned = tb.aligned_strings(qc, sc, dec)
+                    self._fill_traceback(hit, qc, search_db.sequence(entry), local)
                 hits.append(hit)
             return AlignmentList(hits=hits, stats=stats)
 
@@ -489,7 +500,15 @@ class SSAContext:
 
         from .ops.topk import host_topk
 
-        top_scores, top_ids = host_topk(best_scores, np.arange(len(best_scores)), k)
+        # Records that produced no scored entries (e.g. a nucleotide
+        # record too short to translate into any frame) keep the int64.min
+        # sentinel: drop them rather than emit a garbage hit whose entry
+        # points at record 0 (traceback would then raise
+        # ScoreMismatchError on the wrong subject).
+        real = best_scores > np.iinfo(np.int64).min
+        top_scores, top_ids = host_topk(
+            best_scores[real], np.nonzero(real)[0], k
+        )
 
         hits = []
         label_codes = dict(q_seqs)
@@ -505,18 +524,9 @@ class SSAContext:
                 db_frame=frame_labels[entry] if frame_labels is not None else None,
             )
             if mode is ComputeMode.ALIGNMENT:
-                qc = label_codes[hit.strand]
-                sc = search_db.sequence(entry)
-                tb = aligner.align_pair(
-                    qc, sc, self.matrix.scores, self.gap_open,
-                    self.gap_extend, local, self.params.first_residue_opens,
+                self._fill_traceback(
+                    hit, label_codes[hit.strand], search_db.sequence(entry), local
                 )
-                _check_scores_match(tb.score, hit.score)
-                hit.q_begin, hit.q_end = tb.q_begin, tb.q_end
-                hit.s_begin, hit.s_end = tb.s_begin, tb.s_end
-                hit.cigar = tb.cigar
-                dec = lambda c: alphabet.decode(c, self.matrix.symtype)
-                hit.aligned = tb.aligned_strings(qc, sc, dec)
             hits.append(hit)
         return AlignmentList(hits=hits, stats=stats)
 
@@ -641,19 +651,9 @@ class SSAContext:
                     strand=q.sequences[0][0],
                 )
                 if mode is ComputeMode.ALIGNMENT:
-                    qc = q.sequences[0][1]
-                    sc = self.db.sequence(int(sid))
-                    tb = aligner.align_pair(
-                        qc, sc, self.matrix.scores,
-                        self.gap_open, self.gap_extend, local,
-                        self.params.first_residue_opens,
+                    self._fill_traceback(
+                        hit, q.sequences[0][1], self.db.sequence(int(sid)), local
                     )
-                    _check_scores_match(tb.score, hit.score)
-                    hit.q_begin, hit.q_end = tb.q_begin, tb.q_end
-                    hit.s_begin, hit.s_end = tb.s_begin, tb.s_end
-                    hit.cigar = tb.cigar
-                    dec = lambda c: alphabet.decode(c, self.matrix.symtype)
-                    hit.aligned = tb.aligned_strings(qc, sc, dec)
                 hits.append(hit)
             out.append(AlignmentList(hits=hits, stats=stats))
         return out

@@ -150,26 +150,34 @@ def longpair_score_scan(
     )
 
 
-def score_bound(m: int, n: int, matrix: np.ndarray, Q: int, R: int) -> int:
-    """A-priori bound on |H| anywhere in the DP (f32-window precheck).
+def real_max_abs(matrix: np.ndarray) -> tuple[int, bool]:
+    """(max |substitution score| over REAL symbols, had_pad_rows).
 
     Accepts the raw score table OR a kernel-padded one (``Matrix.padded``
-    fills unused rows/cols with -64): uniform pad rows are stripped before
-    taking the max so the -64 fill doesn't inflate the bound ~6x and
-    silently route genome-scale pairs off the kernel-rate f32 path. Pad
-    CELLS do participate in the padded kernels' DP, but a pad run only
-    adds ``64 * run`` magnitude and runs are bounded by the kernels' pad
-    multiples (<= 256 rows + 512 cols); a flat slack covers them.
+    fills unused rows/cols with -64): uniform pad rows are stripped so the
+    fill value doesn't masquerade as a real score.
     """
     matrix = np.asarray(matrix)
     fill = matrix[-1, -1]
     real_rows = ~np.all(matrix == fill, axis=1)
-    pad_slack = 0
-    if real_rows.any() and not real_rows.all():
+    padded = bool(real_rows.any() and not real_rows.all())
+    if padded:
         a = int(np.nonzero(real_rows)[0].max()) + 1
         matrix = matrix[:a, :a]
-        pad_slack = 64 * 1024  # > 64 * max pad run across all kernels
-    mx = int(np.abs(matrix).max())
+    return int(np.abs(matrix).max()), padded
+
+
+def score_bound(m: int, n: int, matrix: np.ndarray, Q: int, R: int) -> int:
+    """A-priori bound on |H| anywhere in the DP (f32-window precheck).
+
+    The -64 pad fill is stripped from the max (it inflated the bound ~6x
+    and silently routed genome-scale pairs off the kernel-rate f32 path).
+    Pad CELLS do participate in the padded kernels' DP, but a pad run only
+    adds ``64 * run`` magnitude and runs are bounded by the kernels' pad
+    multiples (<= 256 rows + 512 cols); a flat slack covers them.
+    """
+    mx, padded = real_max_abs(matrix)
+    pad_slack = 64 * 1024 if padded else 0  # > 64 * max pad run, any kernel
     return min(m, n) * mx + Q + max(m, n) * R + pad_slack
 
 
@@ -206,6 +214,10 @@ def longpair_score(
 
         use_pallas = pallas_available()
     exact_f32 = score_bound(m, n, matrix_padded, Q, R) < 2**24
+    # The banded/tiled kernels carry the query's substitution planes in
+    # bf16 (8 mantissa bits: integers exact only to +/-256); a matrix
+    # with larger entries must take the scan path.
+    use_pallas = use_pallas and real_max_abs(matrix_padded)[0] <= 256
 
     if use_pallas and exact_f32:
         from .longpair_pallas import M_PAD_MAX, longpair_score_pallas

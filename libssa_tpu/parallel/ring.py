@@ -419,6 +419,7 @@ def ring_score(
     mesh: Mesh | None = None,
     RB: int = 64,
     kernel: str = "auto",
+    first_residue_opens: bool = True,
     interpret: bool = False,
 ):
     """Host convenience: pad, shard, and score one pair over the mesh.
@@ -426,6 +427,9 @@ def ring_score(
     ``kernel``: 'banded' runs the per-device Pallas tile kernel
     (ops/ring_block_pallas.py — the TPU path), 'scan' the lax.scan tile
     sweep (CPU fallback / cross-check), 'auto' picks banded on TPU.
+    ``first_residue_opens``: the Gotoh gap convention, same meaning as
+    ``init_gap_penalties`` (the ring must agree with every other scorer
+    for the identical pair and penalties).
     """
     from ..ops.scoring import make_profile
     from ..oracle import gap_qr
@@ -433,7 +437,7 @@ def ring_score(
 
     mesh = mesh if mesh is not None else make_db_mesh()
     D = mesh.devices.size
-    Q, R_ = gap_qr(gap_open, gap_extend)
+    Q, R_ = gap_qr(gap_open, gap_extend, first_residue_opens)
     m, n = len(q_codes), len(s_codes)
     if m == 0 or n == 0:
         if local:
@@ -445,6 +449,11 @@ def ring_score(
         from ..search.kernels import pallas_available
 
         kernel = "banded" if pallas_available() else "scan"
+    if kernel == "banded":
+        from ..ops.longpair import real_max_abs
+
+        if real_max_abs(matrix_padded)[0] > 256:
+            kernel = "scan"  # bf16 planes: integers exact only to 256
 
     from .sharded import put_global
 

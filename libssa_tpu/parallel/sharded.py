@@ -521,6 +521,11 @@ class ShardedSearchEngine:
     def _kernel_impl(self) -> str:
         from ..search import kernels
 
+        if self.params.dtype == "int32":
+            # The pallas kernel computes f32 unconditionally; an explicit
+            # int32 request (exact arithmetic, no f32-window guards)
+            # must run the scan kernel (same rule as kernels.stage_sweep).
+            return "scan"
         if self.params.kernel != "auto":
             return self.params.kernel
         return "pallas" if kernels.pallas_available() else "scan"
@@ -668,7 +673,7 @@ class ShardedSearchEngine:
                     mesh=self.mesh,
                     k=k,
                     local=local,
-                    use_matmul=self.params.use_matmul,
+                    use_matmul=self.params.use_matmul and self._fallback._matmul_ok,
                     track_range=track,
                     dtype=dtype,
                     m_real=m_real,
@@ -807,7 +812,7 @@ class ShardedSearchEngine:
                     prof_stack, codes_d, lens_d, ids_d, m_reals, group_dev,
                     int(self.gap_q), int(self.gap_r),
                     mesh=self.mesh, k=k, n_frames=len(frames), local=local,
-                    use_matmul=self.params.use_matmul, track_range=track,
+                    use_matmul=self.params.use_matmul and self._fallback._matmul_ok, track_range=track,
                     dtype=dtype, kernel_impl=self._kernel_impl(), limit=limit,
                 )
                 fetched = np.asarray(
@@ -1004,7 +1009,7 @@ class ShardedSearchEngine:
                         mesh=self.mesh,
                         k=k,
                         local=local,
-                        use_matmul=self.params.use_matmul,
+                        use_matmul=self.params.use_matmul and self._fallback._matmul_ok,
                         track_range=track,
                         dtype=dtype,
                         kernel_impl=self._kernel_impl(),

@@ -108,17 +108,3 @@ def align_pair(
     else:
         i, j = m, n
     return _traceback_from(H, E, F, q, s, np.asarray(sub), Q, R, i, j, local=local)
-
-
-class Aligner:
-    """Re-align the hits of a finished score search (reference aligner.c)."""
-
-    def __init__(self, matrix, gap_open: int, gap_extend: int):
-        self.matrix = matrix
-        self.gap_open = gap_open
-        self.gap_extend = gap_extend
-
-    def align_hit(self, q_codes, s_codes, local: bool) -> Traceback:
-        return align_pair(
-            q_codes, s_codes, self.matrix.scores, self.gap_open, self.gap_extend, local
-        )

@@ -47,10 +47,12 @@ def _pad32(sub):
 def _device_ok(m, n, sub, Q, R):
     if m * n < DEVICE_MIN_CELLS or m < 2 or n < 2:
         return False
-    from ..ops.longpair import score_bound
+    from ..ops.longpair import real_max_abs, score_bound
 
     if score_bound(m, n, sub, Q, R) >= 2**24:
         return False  # outside the f32 window: NumPy int64 stays exact
+    if real_max_abs(sub)[0] > 256:
+        return False  # bf16 query planes: integers exact only to 256
     if DEVICE_INTERPRET:
         return True
     from .kernels import pallas_available
@@ -223,6 +225,24 @@ def _score_end_sw(q, s, sub, Q, R):
     return best, bi, bj
 
 
+def _ops_score(q, s, sub, Q, R, ops) -> int:
+    """Score of an alignment path in O(m+n) (vectorized).
+
+    Gotoh accounting: a maximal run of one gap op costs Q + (run-1)*R;
+    switching between D and I opens a NEW gap (two separate gaps).
+    """
+    a = np.frombuffer("".join(ops).encode(), np.uint8)
+    isM = a == ord("M")
+    isD = a == ord("D")
+    i_pos = np.cumsum(isM | isD) - 1  # query index at each step
+    j_pos = np.cumsum(~isD) - 1  # subject index (M or I advance j)
+    subs = int(sub[q[i_pos[isM]], s[j_pos[isM]]].sum())
+    gap = ~isM
+    opens = int((gap & np.concatenate([[True], a[1:] != a[:-1]])).sum())
+    gap_len = int(gap.sum())
+    return subs - opens * Q - (gap_len - opens) * R
+
+
 def align_pair_linear(
     q: np.ndarray,
     s: np.ndarray,
@@ -256,5 +276,8 @@ def align_pair_linear(
         ops = _nw_ops(q[si:ei], s[sj:ej], cost, g, h, g, g)
         return Traceback(score, si, ei, sj, ej, "".join(ops))
     ops = _nw_ops(q, s, cost, g, h, g, g)
-    CC, _ = _mm_pass_any(q, s, cost, g, h, g)
-    return Traceback(-int(CC[n]), 0, m, 0, n, "".join(ops))
+    # The optimal score is the optimal path's score: evaluate the ops in
+    # O(m+n) instead of re-running a whole O(m*n) forward pass (which was
+    # +33-50% wall time on every huge-pair global alignment) just to read
+    # CC[n].
+    return Traceback(_ops_score(q, s, sub, Q, R, ops), 0, m, 0, n, "".join(ops))

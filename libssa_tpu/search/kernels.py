@@ -81,6 +81,12 @@ def stage_sweep(
     """
     import jax.numpy as jnp
 
+    if dtype_str == "int32":
+        # The Pallas kernel computes in f32 unconditionally (its dtype
+        # arg is interface-only), so honoring dtype="int32" — the user's
+        # request for exact arithmetic with NO f32-window guards — means
+        # the scan kernel, even when "pallas" was forced.
+        kernel_name = "scan"
     kern = best_kernel(None if kernel_name == "auto" else kernel_name)
     dtype = jnp.float32 if dtype_str == "float32" else jnp.int32
     track = eff_limit is not None

@@ -129,6 +129,12 @@ class SearchEngine:
         self.gap_open = gap_open
         self.gap_extend = gap_extend
         self.params = params or SearchParams()
+        # The scan kernel's MXU one-hot gather feeds the profile as int8
+        # on the int32 path: scores past 127 would silently wrap there,
+        # so such matrices (user constant scoring / matrix files) force
+        # the jnp.take gather instead. (The pallas kernel computes f32 —
+        # exact to 2^24 — and ignores this.)
+        self._matmul_ok = int(np.abs(self.matrix.scores).max()) <= 127
         self.gap_q, self.gap_r = gap_qr(
             gap_open, gap_extend, self.params.first_residue_opens
         )
@@ -186,7 +192,12 @@ class SearchEngine:
         next multiple of 32) reuses the same compilations.
         """
         q = np.zeros(max(1, query_length), dtype=np.uint8)
-        self.score_all(q, local=local, bit_width=BitWidth.BIT8)
+        # Warm the programs real requests actually run (not score_all's,
+        # which serving never touches): an EXACT search compiles the
+        # multi-query top-k sweep, a narrow one the fused ladder sweep.
+        # Both share the packed-DB upload.
+        self.search(q, k=1, local=local, bit_width=BitWidth.EXACT)
+        self.search(q, k=1, local=local, bit_width=BitWidth.BIT8)
 
     # -- scoring ----------------------------------------------------------
 
@@ -222,8 +233,8 @@ class SearchEngine:
         # m_real is traced in both kernels now: all query lengths share one
         # compiled stage per shape, NW included.
         sweep, *_ = kernels.stage_sweep(
-            self.params.kernel if dtype_str != "int32" else "scan",
-            int(self.gap_q), int(self.gap_r), local, p.use_matmul,
+            self.params.kernel,  # stage_sweep forces "scan" for int32
+            int(self.gap_q), int(self.gap_r), local, p.use_matmul and self._matmul_ok,
             dtype_str, eff_limit,
         )
         stacks = tuple((codes, lens) for codes, lens, _ in dev_stacks)
@@ -363,7 +374,7 @@ class SearchEngine:
         limit = SCORE_LIMIT_8 if bit_width == BitWidth.BIT8 else SCORE_LIMIT_16
         eff_limit = min(limit, F32_WINDOW) if p.dtype == "float32" else limit
         *_, sweep_ladder = kernels.stage_sweep(
-            p.kernel, int(self.gap_q), int(self.gap_r), local, p.use_matmul,
+            p.kernel, int(self.gap_q), int(self.gap_r), local, p.use_matmul and self._matmul_ok,
             p.dtype, eff_limit,
         )
         out_dev, s_m, _ = sweep_ladder(profile_j, dev_stacks, jnp.int32(m), k)
@@ -485,7 +496,7 @@ class SearchEngine:
             )
             _, sweep_multi, *_ = kernels.stage_sweep(
                 p.kernel, int(self.gap_q), int(self.gap_r), local,
-                p.use_matmul, p.dtype, eff_limit,
+                p.use_matmul and self._matmul_ok, p.dtype, eff_limit,
             )
             stacks = []
             row_map = []
@@ -587,7 +598,7 @@ class SearchEngine:
         grouped, dev_stacks = self._stacks_on_device(self.db, p.batch_size)
         _, _, sweep_topk, *_ = kernels.stage_sweep(
             p.kernel, int(self.gap_q), int(self.gap_r), local,
-            p.use_matmul, p.dtype, F32_WINDOW if p.dtype == "float32" else None,
+            p.use_matmul and self._matmul_ok, p.dtype, F32_WINDOW if p.dtype == "float32" else None,
         )
         nq = len(queries)
         m_reals = jnp.asarray([len(q) for q in queries], jnp.int32)
@@ -673,7 +684,7 @@ class SearchEngine:
         grouped, dev_stacks = self._stacks_on_device(self.db, p.batch_size)
         _, _, _, sweep_reduced, _ = kernels.stage_sweep(
             p.kernel, int(self.gap_q), int(self.gap_r), local,
-            p.use_matmul, p.dtype,
+            p.use_matmul and self._matmul_ok, p.dtype,
             F32_WINDOW if p.dtype == "float32" else None,
         )
         nf = len(frames)

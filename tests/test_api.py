@@ -217,6 +217,23 @@ class TestTranslatedSearch:
         assert by_header["rev_strand"].db_frame.startswith("-")
         assert by_header["fwd2"].db_frame == "+2"
 
+    def test_query_input_validation(self, tmp_path):
+        """Malformed/missing query files must raise, not silently search
+        the letter-stripped path string as a sequence."""
+        c = SSAContext()
+        c.init_symbol_translation(SymType.AMINOACID)
+        assert len(c.init_sequence_fasta("MKVLW").raw) == 5  # bare seq
+        with pytest.raises(FileNotFoundError, match="does not exist"):
+            c.init_sequence_fasta("no_such_query.fas")
+        bad = tmp_path / "garbage.fas"
+        bad.write_text("this is not fasta\njust text\n")
+        with pytest.raises(ValueError):
+            c.init_sequence_fasta(str(bad))
+        empty = tmp_path / "empty.fas"
+        empty.write_text("")
+        with pytest.raises(ValueError, match="no FASTA records"):
+            c.init_sequence_fasta(str(empty))
+
     def test_hit_count_edge_cases(self):
         c = SSAContext()
         c.init_symbol_translation(SymType.AMINOACID)
@@ -228,6 +245,33 @@ class TestTranslatedSearch:
         assert len(c.sw_align(q, k=100)) == 2  # clamped to DB size
         with pytest.raises(ValueError, match="k must be"):
             c.sw_align(q, k=-1)
+
+    def test_host_fallback_drops_frameless_records(self, tmp_path):
+        """A nucleotide record too short to translate (< 3 nt) must not
+        surface as a sentinel-score hit when the translated search takes
+        the exact host fallback (search_reduced -> None)."""
+        c = SSAContext()
+        c.init_symbol_translation(
+            SymType.AMINOACID, Strand.FORWARD, d_gencode=1,
+            db_symtype=SymType.NUCLEOTIDE,
+        )
+        c.init_score_matrix("BLOSUM62")
+        c.init_gap_penalties(10, 1)
+        nt = self._nt(self.PROT)
+        db_path = tmp_path / "nt.fas"
+        fasta.write_fasta(
+            str(db_path),
+            [("ok", nt), ("stub", "AC"), ("noise", "ACGT" * 10)],
+        )
+        c.init_db_fasta(str(db_path))
+        q = c.init_sequence_fasta(self.PROT)
+        want = [(h.header, h.score) for h in c.sw_align(q, k=5)]
+        eng = c._get_engine()
+        eng.search_reduced = lambda *a, **k: None  # force the host path
+        hits = c.sw_align(q, k=5, mode=ComputeMode.ALIGNMENT)
+        assert [(h.header, h.score) for h in hits] == want
+        assert all(h.score > -(2**40) for h in hits)
+        assert not any(h.header == "stub" for h in hits)
 
     def test_mismatched_alphabets_raise(self):
         c = SSAContext()

@@ -324,3 +324,48 @@ def test_device_resident_ladder_path_nw(small_db):
     g8 = eng_dev.search(q, 7, local=False, bit_width=BitWidth.BIT8)
     np.testing.assert_array_equal(w8[0], g8[0])
     np.testing.assert_array_equal(w8[1], g8[1])
+
+
+def test_large_magnitude_matrix_stays_exact():
+    """Substitution scores past int8 range must not wrap in the MXU
+    one-hot gather (the engine disables use_matmul for such matrices).
+    Constant scoring with match=500: a ~70-residue self-match run scores
+    ~35000 — past BIT16's window AND past int8 profile range."""
+    mat = matrices.constant_scoring(500, -1, SymType.AMINOACID)
+    rng = np.random.default_rng(77)
+    seqs = [rng.integers(0, 20, int(n)).astype(np.uint8)
+            for n in rng.integers(30, 90, 20)]
+    db = SequenceDB.from_sequences(
+        [f"s{i}" for i in range(20)], seqs, SymType.AMINOACID
+    )
+    q = seqs[7].copy()  # guaranteed giant self-hit
+    eng = SearchEngine(db, mat, 10, 1, SearchParams(batch_size=8))
+    assert not eng._matmul_ok
+    for bw in (BitWidth.EXACT, BitWidth.BIT8):
+        s, i = eng.search(q, 5, local=True, bit_width=bw)
+        want = np.array(
+            [oracle.sw_score(q, sq, mat.scores, 10, 1) for sq in seqs]
+        )
+        order = np.lexsort((np.arange(20), -want))[:5]
+        np.testing.assert_array_equal(s, want[order])
+        np.testing.assert_array_equal(i, order)
+    assert s[0] == 500 * len(q)
+
+
+def test_int32_dtype_forces_scan_kernel():
+    """SearchParams(dtype='int32') must run the scan kernel even when
+    'pallas' is forced — the pallas kernel computes f32 unconditionally
+    and the int32 request disables every f32-window guard."""
+    from libssa_tpu.search import kernels
+
+    db, seqs = _db(10, seed=9)
+    q = seqs[2].copy()
+    exact = SearchEngine(db, B62, 10, 1, SearchParams(batch_size=8))
+    forced = SearchEngine(
+        db, B62, 10, 1,
+        SearchParams(batch_size=8, dtype="int32", kernel="pallas"),
+    )
+    s1, i1 = exact.search(q, 5)
+    s2, i2 = forced.search(q, 5)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(i1, i2)
