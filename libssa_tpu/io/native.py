@@ -99,7 +99,10 @@ def parse_fasta_native(path: str, symtype: SymType):
             lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             headers_buf,
         )
-        headers = [h.decode("utf-8", "replace") for h in headers_buf.raw.split(b"\x00")[:n]]
+        headers = [
+            h.decode("utf-8", "replace").strip()  # python parser strips too
+            for h in headers_buf.raw.split(b"\x00")[:n]
+        ]
         return codes, offsets, lengths, headers
     finally:
         lib.fastadb_free(handle)

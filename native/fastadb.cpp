@@ -65,8 +65,15 @@ void* fastadb_parse(const char* path, const uint8_t* code_table) {
   bool in_record = false;
   int64_t cur_start = 0;
   size_t i = 0;
+  // A '>' begins a header ONLY at the start of a line — the same rule as
+  // the pure-Python parser (io/fasta.py iterates lines); a mid-line '>'
+  // is sequence content and is dropped by the residue filter exactly as
+  // alphabet.encode drops it. Keeping the two parsers byte-equivalent
+  // matters: which one runs depends on whether the .so is built.
   while (i < size) {
-    if (data[i] == '>') {
+    const bool line_start =
+        i == 0 || data[i - 1] == '\n' || data[i - 1] == '\r';
+    if (data[i] == '>' && line_start) {
       if (in_record) {
         db->lengths.push_back(
             static_cast<int32_t>(db->codes.size() - cur_start));
@@ -82,14 +89,24 @@ void* fastadb_parse(const char* path, const uint8_t* code_table) {
       while (j < size && data[j] != '\n') ++j;
       i = j + 1;
     } else if (!in_record) {
-      // Body before any header: malformed.
-      ::munmap(const_cast<char*>(data), size);
-      delete db;
-      return nullptr;
+      unsigned char c = static_cast<unsigned char>(data[i]);
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
+        ++i;  // blank lines / whitespace before the first header are fine
+      } else {
+        // Body before any header: malformed.
+        ::munmap(const_cast<char*>(data), size);
+        delete db;
+        return nullptr;
+      }
     } else {
-      // Sequence line(s): translate every residue byte until next '>'.
+      // Sequence line(s): translate every residue byte until the next
+      // LINE-INITIAL '>'.
       size_t j = i;
-      while (j < size && data[j] != '>') {
+      while (j < size) {
+        if (data[j] == '>' &&
+            (data[j - 1] == '\n' || data[j - 1] == '\r')) {
+          break;
+        }
         unsigned char c = static_cast<unsigned char>(data[j]);
         if (is_residue(c)) db->codes.push_back(code_table[c]);
         ++j;

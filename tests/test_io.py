@@ -146,6 +146,32 @@ class TestNativeParser:
         for i, s in enumerate(py_seqs):
             np.testing.assert_array_equal(db.sequence(i), s)
 
+    def test_native_matches_python_on_messy_input(self, tmp_path):
+        """Line-based header rule parity: mid-line '>' is sequence
+        content (dropped by both filters), leading blank lines are fine,
+        digits/gaps/whitespace are stripped identically."""
+        messy = (
+            "\n  \n"                      # leading whitespace-only lines
+            ">first record\n"
+            "MKV9L-AA GW\n"               # digits, gaps, spaces stripped
+            "TE>ST\n"                     # mid-line '>' is NOT a header
+            ">second\r\n"                 # CRLF
+            "ARND\r\nCQEG\n"
+            ">empty-seq\n"
+            ">last\n*WW*\n"
+        )
+        p = tmp_path / "messy.fas"
+        p.write_text(messy)
+        got = parse_fasta_native(str(p), SymType.AMINOACID)
+        assert got is not None
+        codes, offsets, lengths, headers = got
+        py_headers, py_seqs = fasta.read_fasta_encoded(str(p), SymType.AMINOACID)
+        assert headers == py_headers == ["first record", "second", "empty-seq", "last"]
+        np.testing.assert_array_equal(lengths, [len(s) for s in py_seqs])
+        db = SequenceDB(codes, offsets, lengths, headers, SymType.AMINOACID)
+        for i, s in enumerate(py_seqs):
+            np.testing.assert_array_equal(db.sequence(i), s)
+
     def test_native_empty_file(self, tmp_path):
         p = tmp_path / "empty.fas"
         p.write_text("")
