@@ -70,6 +70,25 @@ def query_fits_vmem(m: int, n_pad: int) -> bool:
     return (VMEM_BUDGET // per_lane) >= 128
 
 
+def _column_block(n_pad: int) -> int:
+    """Column-block size for an (even) padded subject length.
+
+    The largest power-of-two divisor of ``n_pad``, clamped to [32, 256]
+    (whole length when <= 256). Round 3 first shipped a finer bucket
+    ladder (io/db._LADDER, 64/128-multiples) but ``_build`` still rounded
+    n_pad up to 256-multiples, quietly discarding the fill gain — the
+    flagship e2e rate measured byte-identical to the coarse ladder.
+    Divisor-derived blocks make plan buckets honest: a 320-column bucket
+    runs exactly 320 columns (5 blocks of 64). Smaller blocks cost only
+    grid steps (DMA stays double-buffered); measured rates at
+    n_blk 32..256 are within noise (experiments/r3_nblk_probe.py,
+    PERF_NOTES r3).
+    """
+    if n_pad <= 256:
+        return n_pad
+    return max(32, min(256, n_pad & -n_pad))
+
+
 def _kernel(
     mr_ref,  # (1,) int32 SMEM: true query length (traced)
     profile_ref,  # (m, 32) f32
@@ -231,7 +250,10 @@ def _kernel(
 
 
 @functools.lru_cache(maxsize=256)
-def _build(m, n_pad, B, Q, R, local, track_range, b_tile, interpret, subj_bits):
+def _build(
+    m, n_pad, B, Q, R, local, track_range, b_tile, interpret, subj_bits,
+    n_blk=None,
+):
     """Compile one (shape, gap, mode) specialization of the kernel.
 
     ``m_real`` is NOT part of the key (traced SMEM scalar): all query
@@ -244,7 +266,9 @@ def _build(m, n_pad, B, Q, R, local, track_range, b_tile, interpret, subj_bits):
     del subj_bits  # widened to int32 on-device before the kernel
     CH = 8
     n_arrays = 2 + 2  # H, E + S/Hd values in flight
-    n_blk = min(n_pad + n_pad % 2, 256)  # even: columns step in pairs
+    n_pad = n_pad + n_pad % 2  # even: columns step in pairs
+    if n_blk is None:
+        n_blk = _column_block(n_pad)
     n_pad = -(-n_pad // n_blk) * n_blk
     n_blocks = n_pad // n_blk
     per_lane = n_arrays * m * 4 + 2 * CH * 4 + 2 * n_blk * 4

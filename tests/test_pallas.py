@@ -143,6 +143,44 @@ def test_pallas_internal_m_padding(local):
         np.testing.assert_array_equal(s, expect)
 
 
+def test_pallas_odd_bucket_column_blocks():
+    """Non-256-multiple buckets run exactly, in divisor-sized blocks.
+
+    The refined bucket ladder (io/db._LADDER) emits 64/128-multiple
+    padded lengths like 320 and 448; _build must run them as-is (e.g.
+    five 64-column blocks) rather than rounding up to 256-multiples —
+    the round-3 regression that erased the ladder's fill gain.
+    """
+    from libssa_tpu.ops.interseq_pallas import _column_block
+
+    assert _column_block(256) == 256
+    assert _column_block(320) == 64  # 5 blocks of 64
+    assert _column_block(448) == 64
+    assert _column_block(384) == 128
+    assert _column_block(512) == 256
+    assert _column_block(2048) == 256
+    assert _column_block(4608) == 256  # 512-step ladder rung
+    assert _column_block(100) == 100  # sub-256: whole length
+    assert _column_block(322) == 32  # arbitrary even: 32-floor
+
+    rng = np.random.default_rng(11)
+    q = rng.integers(0, 20, 24).astype(np.uint8)
+    profile = make_profile(q, PADDED)
+    for n_pad in (320, 384):
+        codes, lengths, seqs = _random_batch(rng, 4, n_pad - 70, n_pad)
+        codes = np.pad(
+            codes, ((0, 0), (0, n_pad - codes.shape[1])),
+            constant_values=PAD_CODE,
+        )
+        for local in (True, False):
+            s, _, _ = _pallas(
+                profile, codes, lengths, 11, 1, local=local, b_tile=128
+            )
+            fn = oracle.sw_score if local else oracle.nw_score
+            expect = [fn(q, sq, B62.scores, 10, 1) for sq in seqs]
+            np.testing.assert_array_equal(s, expect)
+
+
 def test_giant_query_falls_back_to_scan_kernel():
     """Queries past the VMEM-practical bound delegate to the scan kernel.
 
