@@ -204,17 +204,8 @@ class SequenceDB:
     # (fill 85-89% simulated, ~2x the shape combos) — an ~18% end-to-end
     # throughput lift at flagship scale for a bounded, DB-independent
     # shape set.
-    # The 32-step band below 768 was REJECTED in the first r3 pass (the
-    # kernel then rounded all buckets to 256-column blocks, so finer
-    # rungs below 256-multiples were fictitious); once _column_block
-    # made blocks divisor-derived (n_blk=32 measured within noise,
-    # experiments/r3_nblk_probe.py) the band became free: fill 88.7% ->
-    # 91.0% simulated on 500k lognormal lengths for +14 one-time
-    # compiles. Steps finer than 64 above 768 buy <0.2 points (the
-    # length mass sits below ~1100) — measured, not guessed.
     _LADDER = (
-        [32 * k for k in range(9, 25)]        # 288..768 step 32
-        + [64 * k for k in range(13, 17)]     # 832..1024 step 64
+        [64 * k for k in range(5, 17)]        # 320..1024 step 64
         + [128 * k for k in range(9, 17)]     # 1152..2048 step 128
         + [256 * k for k in range(9, 17)]     # 2304..4096 step 256
         + [512 * k for k in range(9, 17)]     # 4608..8192 step 512

@@ -216,11 +216,9 @@ def test_bucket_ladder_properties():
 
     lad = SequenceDB._LADDER
     assert lad == sorted(lad) and len(lad) == len(set(lad))
-    assert lad[0] == 288 and lad[-1] == 65536
-    # Step widths: 32 through 768 (since divisor-derived column blocks
-    # made sub-64 rungs real), 64 to 1024, then doubling per octave.
-    for lo, hi, step in ((288, 768, 32), (769, 1024, 64),
-                         (1025, 2048, 128),
+    assert lad[0] == 320 and lad[-1] == 65536
+    # Step widths: 64 through 1024, then doubling per octave.
+    for lo, hi, step in ((320, 1024, 64), (1025, 2048, 128),
                          (2049, 4096, 256), (4097, 8192, 512),
                          (8193, 16384, 1024), (16385, 65536, 2048)):
         band = [x for x in lad if lo <= x <= hi]
@@ -232,9 +230,9 @@ def test_bucket_ladder_properties():
     bl = SequenceDB._bucket_length
     assert bl(100, 32, True) == 128
     assert bl(256, 32, True) == 256
-    assert bl(257, 32, True) == 288
+    assert bl(257, 32, True) == 320
     assert bl(320, 32, True) == 320
-    assert bl(321, 32, True) == 352
+    assert bl(321, 32, True) == 384
     assert bl(1025, 32, True) == 1152
     assert bl(70_000, 32, True) % 256 == 0 and bl(70_000, 32, True) >= 70_000
     assert bl(300, 32, False) == 320  # multiple-of-32 mode unchanged
