@@ -4,7 +4,9 @@ The axon tunnel costs ~60ms/dispatch + ~40ms/fence, swamping a ~10ms
 kernel. Run the kernel K times inside ONE jit (distinct traced n_real
 scalars defeat CSE) and difference K=1 vs K=5.
 
-Usage: /opt/venv/bin/python experiments/r3_lp_time.py [N...]
+Usage: /opt/venv/bin/python experiments/r3_lp_time.py [--nt|--acgt] [N...]
+(--nt: IUPAC nucleotide codes -> 16-plane tree; --acgt: plain ACGT ->
+5-plane tree; default: amino-acid codes -> 25-plane tree)
 """
 import sys
 import time
@@ -28,22 +30,22 @@ def main():
     B62 = matrices.builtin("BLOSUM62")
     rng = np.random.default_rng(7)
 
-    for N in [int(a) for a in sys.argv[1:]] or [16384]:
-        q = rng.integers(0, 20, N).astype(np.uint8)
-        s = rng.integers(0, 20, N).astype(np.uint8)
+    args = [a for a in sys.argv[1:]]
+    hi = 15 if "--nt" in args else 4 if "--acgt" in args else 20
+    for N in [int(a) for a in args if not a.startswith("--")] or [16384]:
+        q = rng.integers(0, hi, N).astype(np.uint8)
+        s = rng.integers(0, hi, N).astype(np.uint8)
+        K = lp.alphabet_planes(q, s)
         m_pad = max(1024, -(-N // 1024) * 1024)
         B = m_pad // 8
         T = -(-(N + B) // 512) * 512
-        PAD = 32 - 1
-        qprof = np.asarray(B62.padded())[
-            np.pad(q.astype(np.int64), (0, m_pad - N), constant_values=PAD)
-        ]
-        pq = np.ascontiguousarray(
-            qprof.reshape(B, 8, 32).transpose(2, 1, 0)
-        ).astype(np.float32)
-        s_full = np.full((T,), PAD, np.int32)
+        pq = lp.build_planes(q, np.asarray(B62.padded()), m_pad, K).astype(
+            np.float32
+        )
+        s_full = np.full((T,), K - 1, np.int32)
         s_full[:N] = s
-        run = lp._build(m_pad, T, 11, 1, True, False)
+        run = lp._build(m_pad, T, 11, 1, True, False, K)
+        print(f"K={K} planes", flush=True)
 
         def many(k):
             @jax.jit

@@ -220,9 +220,17 @@ def longpair_score(
     use_pallas = use_pallas and real_max_abs(matrix_padded)[0] <= 256
 
     if use_pallas and exact_f32:
-        from .longpair_pallas import M_PAD_MAX, longpair_score_pallas
+        from .longpair_pallas import (
+            M_PAD_MAX,
+            alphabet_planes,
+            longpair_score_pallas,
+        )
 
-        if m > M_PAD_MAX:
+        # Smaller alphabets need fewer VMEM planes, so the direct banded
+        # kernel (faster than tiling) covers proportionally taller
+        # queries — mirrors longpair_score_pallas's own bound.
+        K = alphabet_planes(np.asarray(q_codes), np.asarray(s_codes))
+        if m > M_PAD_MAX * (PADDED_ALPHABET // K):
             # Query too tall for one kernel's VMEM planes: chained
             # banded tiles (same kernel body, one dispatch).
             from .tiled_pair import tiled_pair_score

@@ -37,11 +37,17 @@ devices. Consequences:
     lane-rolled by one — the only lane rolls in the loop.
   * The per-lane subject symbol ``s[t - b]`` is a SHIFT REGISTER: roll
     the symbol lane vector by one, inject ``s[t]`` at lane 0.
-  * Substitution scores come from a 5-level binary select tree over the
-    32 per-symbol query planes ``Pq[a, r, b] = sub(q[8b + r], a)``
+  * Substitution scores come from a binary select tree over the
+    per-symbol query planes ``Pq[a, r, b] = sub(q[8b + r], a)``
     (VMEM-resident bf16, built outside) — no MXU, no gather, and no
     per-lane profile problem (the blocker that kept anti-diagonal
-    formulations at ~1 GCUPS, docs/PERF_NOTES.md r2).
+    formulations at ~1 GCUPS, docs/PERF_NOTES.md r2). The tree is
+    ALPHABET-SIZED (K-1 selects over K planes, odd tails pass through):
+    the PAD symbol is remapped from 31 to the first free code, so a
+    nucleotide pair selects over 16 planes (15 selects) and a protein
+    pair over 25 (24 selects) instead of a fixed 32 (31 selects) — the
+    tree is ~85% of the step cost, so this is the difference between
+    ~54 and ~90 GCUPS on DNA (measured; PERF_NOTES r3).
   * State is ONE (8, B) H/E pair: memory O(m); the subject only streams
     as a (T,) symbol vector, so n is unbounded.
 
@@ -80,7 +86,7 @@ UNROLL_STEPS = 32  # DP steps per fori iteration (see _kernel)
 def _kernel(
     mr_ref,  # (2,) int32 SMEM: [m_real, n_real] (traced)
     s_ref,  # (T,) int32 SMEM: subject codes, PAD beyond n_real
-    pq_ref,  # (32, 8, B) bf16: per-symbol query planes
+    pq_ref,  # (K, 8, B) bf16: per-symbol query planes
     out_ref,  # (8, B) f32: SW running max (NW: unused zeros)
     cap_ref,  # (1, B) f32: NW captured cells (per lane's column hit)
     h_ref,  # (8, B) f32 scratch: carry inits (Mosaic rejects splat-
@@ -91,11 +97,12 @@ def _kernel(
     T: int,
     Q: int,
     R: int,
+    K: int,
     local: bool,
     unroll: int,
 ):
     Qf, Rf = jnp.float32(Q), jnp.float32(R)
-    PAD = PADDED_ALPHABET - 1
+    PAD = K - 1
     mr = mr_ref[0]
     nr = mr_ref[1]
 
@@ -120,18 +127,26 @@ def _kernel(
     rc = (mr - 1) % 8  # NW capture row within its band (traced)
 
     def sel_tree(symi):
-        """Substitution plane select: 5-level binary tree over symbols.
+        """Substitution plane select: binary tree over the K symbol planes.
 
         bf16 operands (8, B) halve the per-select register footprint;
-        matrix scores are small integers, so bf16 is exact.
+        matrix scores are small integers, so bf16 is exact. K-1 selects:
+        an odd tail at any level passes through unchanged (node j at
+        level d covers symbols with ``sym >> d == j``, so the lone tail
+        node needs no select until a higher bit pairs it).
         """
-        lvl = [pq_ref[a] for a in range(PADDED_ALPHABET)]
-        for bit in range(5):
+        lvl = [pq_ref[a] for a in range(K)]
+        bit = 0
+        while len(lvl) > 1:
             b_set = ((symi >> bit) & 1) == 1  # (1, B)
-            lvl = [
+            nxt = [
                 jnp.where(b_set, lvl[2 * i + 1], lvl[2 * i])
                 for i in range(len(lvl) // 2)
             ]
+            if len(lvl) % 2:
+                nxt.append(lvl[-1])
+            lvl = nxt
+            bit += 1
         return lvl[0].astype(jnp.float32)  # (8, B)
 
     def make_step(warmup: bool, capture: bool):
@@ -302,13 +317,13 @@ def _kernel(
 
 
 @functools.lru_cache(maxsize=64)
-def _build(m_pad, T, Q, R, local, interpret):
+def _build(m_pad, T, Q, R, local, interpret, K=PADDED_ALPHABET):
     B = m_pad // 8
     # Interpret mode (CPU tests) keeps the loop rolled: the 32x body is
     # identical code, and interpreting it 32x inline is painfully slow.
     unroll = 1 if interpret else UNROLL_STEPS
     kernel = functools.partial(
-        _kernel, B=B, T=T, Q=Q, R=R, local=local, unroll=unroll
+        _kernel, B=B, T=T, Q=Q, R=R, K=K, local=local, unroll=unroll
     )
     call = pl.pallas_call(
         kernel,
@@ -366,9 +381,12 @@ def longpair_score_pallas(
     m, n = len(q_codes), len(s_codes)
     if m == 0 or n == 0:
         raise ValueError("use longpair.longpair_score for empty inputs")
-    if m > M_PAD_MAX:
+    q_codes = np.asarray(q_codes, np.int64)
+    s_codes = np.asarray(s_codes, np.int64)
+    K = alphabet_planes(q_codes, s_codes)
+    if m > M_PAD_MAX * (PADDED_ALPHABET // K):
         raise ValueError(f"query too long for the VMEM planes ({m})")
-    PAD = PADDED_ALPHABET - 1
+    PAD = K - 1
     m_pad = max(1024, -(-m // 1024) * 1024)
     B = m_pad // 8
     # Steps: every band must pass its last real column; pad to a 512
@@ -377,18 +395,14 @@ def longpair_score_pallas(
     # being < 512 (see _kernel).
     T = -(-(n + B) // 512) * 512
 
-    q_full = np.full((m_pad,), PAD, np.int64)
-    q_full[:m] = np.asarray(q_codes, np.int64)
-    # Pq[a, r, b] = sub(q[8b + r], a); bf16 is exact for matrix scores.
-    qprof = np.asarray(matrix_padded)[q_full]  # (m_pad, 32)
-    pq = np.ascontiguousarray(
-        qprof.reshape(B, 8, PADDED_ALPHABET).transpose(2, 1, 0)
-    )
+    pq = build_planes(q_codes, matrix_padded, m_pad, K)
 
     s_full = np.full((T,), PAD, np.int32)
-    s_full[:n] = np.asarray(s_codes, np.int32)
+    s_full[:n] = s_codes
 
-    run = _build(m_pad, T, int(gap_q), int(gap_r), bool(local), bool(interpret))
+    run = _build(
+        m_pad, T, int(gap_q), int(gap_r), bool(local), bool(interpret), K
+    )
     return int(
         run(
             m,
@@ -397,3 +411,42 @@ def longpair_score_pallas(
             jnp.asarray(pq.astype(np.float32)).astype(jnp.bfloat16),
         )
     )
+
+
+def alphabet_planes(*code_arrays) -> int:
+    """Number of substitution planes (incl. pad) the select tree needs.
+
+    The tree costs K-1 selects (~4.5 ns each, measured — the dominant
+    per-step cost), so K is sized to the codes actually present: 5
+    covers plain ACGT (the common genome-pair case), 16 the 15 IUPAC
+    nucleotide codes, 25 the 24 NCBI amino-acid codes (alphabet.py),
+    32 anything else. The kernel-side PAD symbol is remapped from
+    ``PADDED_ALPHABET - 1`` to ``K - 1`` (the first free code);
+    ``build_planes`` places the matrix's pad column/row there, so
+    scores are unchanged. Measured 16k x 16k SW rates (PERF_NOTES r3):
+    K=32 53.8, K=25 62.3, K=16 70.3 GCUPS.
+    """
+    maxc = max(
+        (int(a.max()) for a in code_arrays if len(a)), default=0
+    )
+    if maxc <= 3:
+        return 5
+    if maxc <= 14:
+        return 16
+    if maxc <= 23:
+        return 25
+    return PADDED_ALPHABET
+
+
+def build_planes(q_codes, matrix_padded, m_pad: int, K: int) -> np.ndarray:
+    """(K, 8, B) planes ``Pq[a, r, b] = sub(q[8b + r], a)``, pad at K-1."""
+    B = m_pad // 8
+    m = len(q_codes)
+    # Map kernel code space (0..K-1, pad at K-1) onto matrix columns/rows
+    # (0..31, pad at 31).
+    cmap = np.arange(K, dtype=np.int64)
+    cmap[K - 1] = PADDED_ALPHABET - 1
+    q_full = np.full((m_pad,), K - 1, np.int64)
+    q_full[:m] = np.asarray(q_codes, np.int64)
+    qprof = np.asarray(matrix_padded)[cmap[q_full]][:, cmap]  # (m_pad, K)
+    return np.ascontiguousarray(qprof.reshape(B, 8, K).transpose(2, 1, 0))

@@ -67,18 +67,21 @@ def _plan(m, n, RB, WC, interpret):
     return RB, WC, T, B, Rb, Cc
 
 
-def _pq_blocks(q_codes, matrix_padded, Rb, RB, B):
-    PAD = PADDED_ALPHABET - 1
-    q_full = np.full((Rb * RB,), PAD, np.int64)
+def _pq_blocks(q_codes, matrix_padded, Rb, RB, B, K=PADDED_ALPHABET):
+    # K-code space: pad at K-1, matrix pad column/row mapped onto it
+    # (longpair_pallas.alphabet_planes / build_planes convention).
+    cmap = np.arange(K, dtype=np.int64)
+    cmap[K - 1] = PADDED_ALPHABET - 1
+    q_full = np.full((Rb * RB,), K - 1, np.int64)
     q_full[: len(q_codes)] = np.asarray(q_codes, np.int64)
-    qprof = np.asarray(matrix_padded)[q_full]
+    qprof = np.asarray(matrix_padded)[cmap[q_full]][:, cmap]
     return np.ascontiguousarray(
-        qprof.reshape(Rb, B, 8, PADDED_ALPHABET).transpose(0, 3, 2, 1)
+        qprof.reshape(Rb, B, 8, K).transpose(0, 3, 2, 1)
     ).astype(np.float32)
 
 
-def _s_chunks(s_codes, Cc, WC, T):
-    PAD = PADDED_ALPHABET - 1
+def _s_chunks(s_codes, Cc, WC, T, K=PADDED_ALPHABET):
+    PAD = K - 1
     s_chunks = np.full((Cc, T), PAD, np.int32)
     s_flat = np.full((Cc * WC,), PAD, np.int32)
     s_flat[: len(s_codes)] = np.asarray(s_codes, np.int32)
@@ -88,10 +91,11 @@ def _s_chunks(s_codes, Cc, WC, T):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("RB", "WC", "Q", "R", "interpret"),
+    static_argnames=("RB", "WC", "Q", "R", "interpret", "K"),
 )
 def _rows_score(
-    pq_blocks, s_chunks, m, tbf, *, RB, WC, Q, R, interpret
+    pq_blocks, s_chunks, m, tbf, *, RB, WC, Q, R, interpret,
+    K=PADDED_ALPHABET,
 ):
     """NW grid fill; returns the FULL padded H and F streams of DP row
     ``m`` (traced; callers slice [:n]).
@@ -104,7 +108,7 @@ def _rows_score(
     Rb = pq_blocks.shape[0]
     Cc = s_chunks.shape[0]
     n_pad = Cc * WC
-    tile = banded_tile(RB, WC, Q, R, False, interpret)
+    tile = banded_tile(RB, WC, Q, R, False, interpret, n_planes=K)
     Qf, Rf = jnp.float32(Q), jnp.float32(R)
     tbf = jnp.asarray(tbf, jnp.float32)
     m = jnp.asarray(m, jnp.int32)
@@ -203,17 +207,20 @@ def mm_pass_rows(
     CC[j]/DD[j] for j = 0..n; exact while every |H| < 2**24 (callers
     guard with ``longpair.score_bound``).
     """
+    from .longpair_pallas import alphabet_planes
+
     m, n = len(q_codes), len(s_codes)
     Q, R = int(gap_q), int(gap_r)
     RB, WC, T, B, Rb, Cc = _plan(m, n, RB, WC, interpret)
+    K = alphabet_planes(np.asarray(q_codes), np.asarray(s_codes))
     tb = 0 if tb_is_zero else Q - R
     bH, bF = _rows_score(
-        jnp.asarray(_pq_blocks(q_codes, matrix_padded, Rb, RB, B)).astype(
-            jnp.bfloat16
-        ),
-        jnp.asarray(_s_chunks(s_codes, Cc, WC, T)),
+        jnp.asarray(
+            _pq_blocks(q_codes, matrix_padded, Rb, RB, B, K)
+        ).astype(jnp.bfloat16),
+        jnp.asarray(_s_chunks(s_codes, Cc, WC, T, K)),
         m, float(tb),
-        RB=RB, WC=WC, Q=Q, R=R, interpret=bool(interpret),
+        RB=RB, WC=WC, Q=Q, R=R, interpret=bool(interpret), K=K,
     )
     bH, bF = np.asarray(bH)[:n], np.asarray(bF)[:n]
     CC = np.empty(n + 1, np.int64)
@@ -227,9 +234,10 @@ def mm_pass_rows(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("RB", "WC", "Q", "R", "interpret"),
+    static_argnames=("RB", "WC", "Q", "R", "interpret", "K"),
 )
-def _rows_score_pair(pq2, s2, m2, tb2, *, RB, WC, Q, R, interpret):
+def _rows_score_pair(pq2, s2, m2, tb2, *, RB, WC, Q, R, interpret,
+                     K=PADDED_ALPHABET):
     """Both Myers-Miller divide passes (forward + reverse) in ONE
     program: ``lax.map`` over the stacked problems — halves the
     dispatch+fence count of every recursion level (the warm-time cost of
@@ -237,7 +245,7 @@ def _rows_score_pair(pq2, s2, m2, tb2, *, RB, WC, Q, R, interpret):
     return jax.lax.map(
         lambda x: _rows_score(
             x[0], x[1], x[2], x[3],
-            RB=RB, WC=WC, Q=Q, R=R, interpret=interpret,
+            RB=RB, WC=WC, Q=Q, R=R, interpret=interpret, K=K,
         ),
         (pq2, s2, m2, tb2),
     )
@@ -264,6 +272,8 @@ def mm_pass_rows_pair(
     they almost always share a tile plan; returns None when the plans
     differ (caller falls back to two ``mm_pass_rows`` calls).
     """
+    from .longpair_pallas import alphabet_planes
+
     mf, nf = len(qf_codes), len(sf_codes)
     mr, nr = len(qr_codes), len(sr_codes)
     Q, R = int(gap_q), int(gap_r)
@@ -271,22 +281,26 @@ def mm_pass_rows_pair(
     if plan_f != _plan(mr, nr, RB, WC, interpret):
         return None
     RB, WC, T, B, Rb, Cc = plan_f
+    K = alphabet_planes(
+        np.asarray(qf_codes), np.asarray(sf_codes),
+        np.asarray(qr_codes), np.asarray(sr_codes),
+    )
     tbs = (0 if tbf_is_zero else Q - R, 0 if tbr_is_zero else Q - R)
     pq2 = np.stack(
         [
-            _pq_blocks(qf_codes, matrix_padded, Rb, RB, B),
-            _pq_blocks(qr_codes, matrix_padded, Rb, RB, B),
+            _pq_blocks(qf_codes, matrix_padded, Rb, RB, B, K),
+            _pq_blocks(qr_codes, matrix_padded, Rb, RB, B, K),
         ]
     )
     s2 = np.stack(
-        [_s_chunks(sf_codes, Cc, WC, T), _s_chunks(sr_codes, Cc, WC, T)]
+        [_s_chunks(sf_codes, Cc, WC, T, K), _s_chunks(sr_codes, Cc, WC, T, K)]
     )
     bH2, bF2 = _rows_score_pair(
         jnp.asarray(pq2).astype(jnp.bfloat16),
         jnp.asarray(s2),
         jnp.asarray([mf, mr], jnp.int32),
         jnp.asarray([float(t) for t in tbs], jnp.float32),
-        RB=RB, WC=WC, Q=Q, R=R, interpret=bool(interpret),
+        RB=RB, WC=WC, Q=Q, R=R, interpret=bool(interpret), K=K,
     )
     bH2, bF2 = np.asarray(bH2), np.asarray(bF2)
     out = []
@@ -303,9 +317,10 @@ def mm_pass_rows_pair(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("RB", "WC", "Q", "R", "interpret"),
+    static_argnames=("RB", "WC", "Q", "R", "interpret", "K"),
 )
-def _sw_end_score(pq_blocks, s_chunks, *, RB, WC, Q, R, interpret):
+def _sw_end_score(pq_blocks, s_chunks, *, RB, WC, Q, R, interpret,
+                  K=PADDED_ALPHABET):
     """SW grid fill with per-cell argmax-step tracking.
 
     Returns stacked per-tile (acc, tbest) — (Rb, Cc, 8, B) each.
@@ -314,7 +329,9 @@ def _sw_end_score(pq_blocks, s_chunks, *, RB, WC, Q, R, interpret):
     Rb = pq_blocks.shape[0]
     Cc = s_chunks.shape[0]
     n_pad = Cc * WC
-    tile = banded_tile(RB, WC, Q, R, True, interpret, track_pos=True)
+    tile = banded_tile(
+        RB, WC, Q, R, True, interpret, track_pos=True, n_planes=K
+    )
 
     def row_block(carry, xs):
         botH_full, botF_full = carry
@@ -397,15 +414,18 @@ def sw_end_cell(
     """(best, end_i, end_j) 1-based inclusive — device analogue of
     ``hirschberg._score_end_sw`` with the oracle tie-break (smallest i,
     then smallest j)."""
+    from .longpair_pallas import alphabet_planes
+
     m, n = len(q_codes), len(s_codes)
     Q, R = int(gap_q), int(gap_r)
     RB, WC, T, B, Rb, Cc = _plan(m, n, RB, WC, interpret)
+    K = alphabet_planes(np.asarray(q_codes), np.asarray(s_codes))
     best, gi, gj = _sw_end_score(
-        jnp.asarray(_pq_blocks(q_codes, matrix_padded, Rb, RB, B)).astype(
-            jnp.bfloat16
-        ),
-        jnp.asarray(_s_chunks(s_codes, Cc, WC, T)),
-        RB=RB, WC=WC, Q=Q, R=R, interpret=bool(interpret),
+        jnp.asarray(
+            _pq_blocks(q_codes, matrix_padded, Rb, RB, B, K)
+        ).astype(jnp.bfloat16),
+        jnp.asarray(_s_chunks(s_codes, Cc, WC, T, K)),
+        RB=RB, WC=WC, Q=Q, R=R, interpret=bool(interpret), K=K,
     )
     # Three scalars fetched; the argmax + (smallest i, then j) tie-break
     # — the oracle's convention; the latched step t inside the kernel

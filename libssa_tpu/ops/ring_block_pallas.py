@@ -90,12 +90,13 @@ def _kernel(
     Wn: int,
     Q: int,
     R: int,
+    K: int,
     local: bool,
     track_pos: bool,
     unroll: int,
 ):
     Qf, Rf = jnp.float32(Q), jnp.float32(R)
-    PAD = PADDED_ALPHABET - 1
+    PAD = K - 1
     cr = sc_ref[0]
     cc = sc_ref[1]
     bb = sc_ref[2]  # bottom-stream band (B-1 for the true bottom row)
@@ -119,13 +120,20 @@ def _kernel(
     laneX = lane1 == bb  # traced: the bottom-stream band lane
 
     def sel_tree(symi):
-        lvl = [pq_ref[a] for a in range(PADDED_ALPHABET)]
-        for bit in range(5):
+        # Alphabet-sized tree: K-1 selects, odd tails pass through
+        # (longpair_pallas.sel_tree has the correctness argument).
+        lvl = [pq_ref[a] for a in range(K)]
+        bit = 0
+        while len(lvl) > 1:
             b_set = ((symi >> bit) & 1) == 1
-            lvl = [
+            nxt = [
                 jnp.where(b_set, lvl[2 * i + 1], lvl[2 * i])
                 for i in range(len(lvl) // 2)
             ]
+            if len(lvl) % 2:
+                nxt.append(lvl[-1])
+            lvl = nxt
+            bit += 1
         return lvl[0].astype(jnp.float32)
 
     def make_step(inject: bool, edge: bool):
@@ -276,7 +284,8 @@ def _kernel(
 
 
 @functools.lru_cache(maxsize=64)
-def _build(RB, W, Q, R, local, interpret, track_pos=False):
+def _build(RB, W, Q, R, local, interpret, track_pos=False,
+           K=PADDED_ALPHABET):
     B = RB // 8
     unroll = 1 if interpret else UNROLL_STEPS
     if B % unroll:
@@ -284,7 +293,7 @@ def _build(RB, W, Q, R, local, interpret, track_pos=False):
     Wn = -(-(W + B) // B)  # ceil((W + B)/B) windows; T = Wn*B >= W + B
     T = Wn * B
     kernel = functools.partial(
-        _kernel, B=B, W=W, Wn=Wn, Q=Q, R=R, local=local,
+        _kernel, B=B, W=W, Wn=Wn, Q=Q, R=R, K=K, local=local,
         track_pos=track_pos, unroll=unroll,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -362,20 +371,25 @@ def banded_tile(
     local: bool,
     interpret: bool = False,
     track_pos: bool = False,
+    n_planes: int = PADDED_ALPHABET,
 ):
     """Compiled tile sweep for (RB x W) tiles at the given penalties.
+
+    ``n_planes`` (K) sizes the substitution select tree — callers derive
+    it with ``longpair_pallas.alphabet_planes`` and build pq/s codes in
+    the remapped K-code space (PAD = K-1).
 
     Call signature of the returned function: see ``_build.run``.
     Inputs sized by ``tile_shapes``: s_codes (T,) int32 (PAD beyond the
     real columns), topH (T+1,) f32 corner-first, topF (T,) f32, pq
-    (32, 8, RB/8) bf16, leftH/leftE (8, RB/8) f32 band-major
+    (K, 8, RB/8) bf16, leftH/leftE (8, RB/8) f32 band-major
     (leftH[r, b] = H[rowblock_base + 8b + r][c0 - 1]), leftD (1, RB/8)
     f32 (leftD[b] = H[base + 8b - 1][c0 - 1]; lane 0's value is unused —
     the corner rides topH[0]).
     """
     run, _T = _build(
         int(RB), int(W), int(gap_q), int(gap_r), bool(local),
-        bool(interpret), bool(track_pos),
+        bool(interpret), bool(track_pos), int(n_planes),
     )
     return run
 

@@ -51,10 +51,10 @@ SENTINEL = -(2**30)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("RB", "WC", "Q", "R", "local", "interpret"),
+    static_argnames=("RB", "WC", "Q", "R", "local", "interpret", "K"),
 )
 def _tiled_score(
-    pq_blocks,  # (Rb, 32, 8, B) bf16 per-row-block query planes
+    pq_blocks,  # (Rb, K, 8, B) bf16 per-row-block query planes
     s_chunks,  # (Cc, T) int32 per-chunk subject codes (PAD-tailed)
     m,  # traced int32: real query length (pair sizes vary continuously;
     n,  # traced int32: real subject length   a retrace per size would
@@ -66,12 +66,13 @@ def _tiled_score(
     R: int,
     local: bool,
     interpret: bool,
+    K: int = PADDED_ALPHABET,
 ):
     T, B = tile_shapes(RB, WC, interpret)
     Rb = pq_blocks.shape[0]
     Cc = s_chunks.shape[0]
     n_pad = Cc * WC
-    tile = banded_tile(RB, WC, Q, R, local, interpret)
+    tile = banded_tile(RB, WC, Q, R, local, interpret, n_planes=K)
     Qf, Rf = jnp.float32(Q), jnp.float32(R)
 
     cap_row_g = m - 1  # global end cell (NW)
@@ -194,11 +195,13 @@ def tiled_pair_score(
     m, n = len(q_codes), len(s_codes)
     if m == 0 or n == 0:
         raise ValueError("use longpair.longpair_score for empty inputs")
+    from .longpair_pallas import alphabet_planes
     from .mm_device import _plan, _pq_blocks, _s_chunks
 
     RB, WC, T, B, Rb, Cc = _plan(m, n, RB, WC, interpret)
-    pq_blocks = _pq_blocks(q_codes, matrix_padded, Rb, RB, B)
-    s_chunks = _s_chunks(s_codes, Cc, WC, T)
+    K = alphabet_planes(np.asarray(q_codes), np.asarray(s_codes))
+    pq_blocks = _pq_blocks(q_codes, matrix_padded, Rb, RB, B, K)
+    s_chunks = _s_chunks(s_codes, Cc, WC, T, K)
 
     return int(
         _tiled_score(
@@ -212,5 +215,6 @@ def tiled_pair_score(
             R=int(gap_r),
             local=bool(local),
             interpret=bool(interpret),
+            K=K,
         )
     )

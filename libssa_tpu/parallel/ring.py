@@ -244,7 +244,7 @@ SENTINEL = -(2**30)
     ),
 )
 def ring_pair_score_banded(
-    pq_blocks: jax.Array,  # (Rblocks, 32, 8, B) bf16 planes, replicated
+    pq_blocks: jax.Array,  # (Rblocks, K, 8, B) bf16 planes, replicated
     subject: jax.Array,  # (D*W,) int32, PAD-padded, sharded over 'd'
     *,
     gap_q: int,
@@ -268,6 +268,7 @@ def ring_pair_score_banded(
     from ..ops.ring_block_pallas import banded_tile, tile_shapes
 
     Rblocks = pq_blocks.shape[0]
+    K = pq_blocks.shape[1]  # select-tree plane count (alphabet_planes)
     B = RB // 8
     D = mesh.devices.size
     mr = m_real if m_real is not None else Rblocks * RB
@@ -282,9 +283,9 @@ def ring_pair_score_banded(
         W = s_shard.shape[0]
         T, _B = tile_shapes(RB, W, interpret)
         tile = banded_tile(
-            RB, W, int(gap_q), int(gap_r), local, interpret
+            RB, W, int(gap_q), int(gap_r), local, interpret, n_planes=K
         )
-        PAD = PADDED_ALPHABET - 1
+        PAD = K - 1
         s_t = jnp.concatenate(
             [s_shard.astype(jnp.int32), jnp.full((T - W,), PAD, jnp.int32)]
         )
@@ -318,7 +319,7 @@ def ring_pair_score_banded(
             active = (p - d >= 0) & (p - d <= Rblocks - 1)
             i0 = rb * RB + 1
             pq_r = jax.lax.dynamic_slice(
-                pq, (rb, 0, 0, 0), (1, PADDED_ALPHABET, 8, B)
+                pq, (rb, 0, 0, 0), (1, K, 8, B)
             )[0]
 
             # Left boundary: device 0 uses the global column formulas.
@@ -458,7 +459,10 @@ def ring_score(
     from .sharded import put_global
 
     if kernel == "banded":
-        PAD = PADDED_ALPHABET - 1
+        from ..ops.longpair_pallas import alphabet_planes
+        from ..ops.mm_device import _pq_blocks
+
+        K = alphabet_planes(np.asarray(q_codes), np.asarray(s_codes))
         if not interpret:
             # Compiled tiles need RB/8 % 32 == 0; RB is a performance
             # knob, not a semantic one, so round up silently. W buckets
@@ -466,16 +470,11 @@ def ring_score(
             RB = max(256, -(-RB // 256) * 256)
         B = RB // 8
         Rblocks = -(-m // RB)
-        q_full = np.full((Rblocks * RB,), PAD, np.int64)
-        q_full[:m] = np.asarray(q_codes, np.int64)
-        qprof = np.asarray(matrix_padded)[q_full]
-        pq = np.ascontiguousarray(
-            qprof.reshape(Rblocks, B, 8, PADDED_ALPHABET).transpose(0, 3, 2, 1)
-        ).astype(np.float32)
+        pq = _pq_blocks(q_codes, matrix_padded, Rblocks, RB, B, K)
         W = -(-n // D)
         if not interpret:
             W = -(-W // 256) * 256
-        s_pad = np.full((W * D,), PAD, np.int64)
+        s_pad = np.full((W * D,), K - 1, np.int64)
         s_pad[:n] = np.asarray(s_codes, np.int64)
         subj = put_global(s_pad, mesh, P("d"), np.int32)
         pq_j = put_global(pq, mesh, P(), np.float32)

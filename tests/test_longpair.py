@@ -129,3 +129,46 @@ def test_pallas_interpret_multiblock():
     got = longpair_score_pallas(q, s, B62.padded(), 11, 1, local=True,
                                 interpret=True)
     assert got == want
+
+
+def test_alphabet_planes_rungs():
+    """Select-tree plane count per observed code range (r3: the tree is
+    the dominant per-step cost, K-1 selects — PERF_NOTES r3)."""
+    from libssa_tpu.ops.longpair_pallas import alphabet_planes
+
+    a = np.array
+    assert alphabet_planes(a([0, 3]), a([1])) == 5  # plain ACGT
+    assert alphabet_planes(a([0, 14]), a([2])) == 16  # IUPAC nt
+    assert alphabet_planes(a([0, 23]), a([5])) == 25  # NCBI aa
+    assert alphabet_planes(a([0, 24])) == 32  # defensive: full planes
+    assert alphabet_planes(a([], dtype=np.int64)) == 5  # empty -> min
+    # Query and subject ranges combine.
+    assert alphabet_planes(a([2]), a([20])) == 25
+
+
+@pytest.mark.parametrize("hi,K", [(4, 5), (15, 16), (24, 25)])
+@pytest.mark.parametrize("local", [True, False], ids=["sw", "nw"])
+def test_alphabet_sized_tree_exact(hi, K, local):
+    """Every K rung is bit-exact, including the unbalanced-tree odd-tail
+    region (codes 16..23 at K=25; code 4 at K=5) and PAD remapped to
+    K-1 (pad columns/rows must still decay, not score)."""
+    from libssa_tpu.ops.longpair_pallas import (
+        alphabet_planes,
+        longpair_score_pallas,
+    )
+
+    rng = np.random.default_rng(hi * 10 + local)
+    for m, n in [(50, 70), (200, 450)]:
+        q = rng.integers(0, hi, m).astype(np.uint8)
+        s = rng.integers(0, hi, n).astype(np.uint8)
+        # Force the rung's top code to appear (it decides K and sits on
+        # the tree's odd tail).
+        q[0] = s[0] = hi - 1
+        assert alphabet_planes(q, s) == K
+        want = (oracle.sw_score if local else oracle.nw_score)(
+            q, s, B62.scores, 10, 1
+        )
+        got = longpair_score_pallas(
+            q, s, B62.padded(), 11, 1, local=local, interpret=True
+        )
+        assert got == want, (m, n, hi, local)

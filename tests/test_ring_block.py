@@ -64,6 +64,28 @@ def test_tiled_randomized(local):
         assert got == want, (m, n)
 
 
+@pytest.mark.parametrize("hi,K", [(4, 5), (15, 16)])
+def test_tiled_alphabet_sized_tree(hi, K):
+    """Nucleotide-range codes ride the small select tree (r3) through
+    the tile path too — exact across tile boundaries with PAD at K-1."""
+    from libssa_tpu.ops.longpair_pallas import alphabet_planes
+
+    rng = np.random.default_rng(hi)
+    q = rng.integers(0, hi, 530).astype(np.uint8)
+    s = rng.integers(0, hi, 610).astype(np.uint8)
+    q[0] = s[0] = hi - 1
+    assert alphabet_planes(q, s) == K
+    for local in (True, False):
+        want = (oracle.sw_score if local else oracle.nw_score)(
+            q, s, B62.scores, 10, 1
+        )
+        got = tiled_pair_score(
+            q, s, B62.padded(), 11, 1, local=local,
+            RB=256, WC=256, interpret=True,
+        )
+        assert got == want
+
+
 def test_tiled_gap_only_and_identical():
     # Degenerate pairs crossing tile boundaries.
     q = np.tile(np.arange(20, dtype=np.uint8), 30)[:520]
