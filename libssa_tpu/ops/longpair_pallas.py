@@ -45,9 +45,9 @@ devices. Consequences:
     ALPHABET-SIZED (K-1 selects over K planes, odd tails pass through):
     the PAD symbol is remapped from 31 to the first free code, so a
     nucleotide pair selects over 16 planes (15 selects) and a protein
-    pair over 25 (24 selects) instead of a fixed 32 (31 selects) — the
-    tree is ~85% of the step cost, so this is the difference between
-    ~54 and ~90 GCUPS on DNA (measured; PERF_NOTES r3).
+    pair over 25 (24 selects) instead of a fixed 32 (31 selects) —
+    selects cost ~4-5 ns each, the difference between 53.8 and 62-93
+    GCUPS by alphabet (measured; PERF_NOTES r3).
   * State is ONE (8, B) H/E pair: memory O(m); the subject only streams
     as a (T,) symbol vector, so n is unbounded.
 
