@@ -125,13 +125,16 @@ def run_soak(trials: int, seed: int) -> dict:
         trng = np.random.default_rng(seed * 100_000 + trial)
         nt = bool(trng.integers(0, 4) == 0)
         if nt:
-            a = 4
+            # a=15 draws IUPAC ambiguity codes: the K=16 select-tree rung
+            # (r3 alphabet-sized trees); a=4 the K=5 ACGT rung.
+            a = 15 if trng.integers(0, 3) == 0 else 4
             mat = matrices.constant_scoring(
                 int(trng.integers(1, 8)), -int(trng.integers(1, 8)),
                 SymType.NUCLEOTIDE,
             )
         else:
-            a = 20
+            # a=24 includes B/Z/X/* — the K=25 tree's odd-tail codes.
+            a = 24 if trng.integers(0, 3) == 0 else 20
             if trng.integers(0, 4) == 0:
                 mat = matrices.constant_scoring(
                     int(trng.integers(1, 8)), -int(trng.integers(1, 8)),
