@@ -21,9 +21,10 @@ import textwrap
 WORKER = textwrap.dedent(
     """
     import json, os, sys, time
-    pid, nproc, port, devs, n_seqs, iters = (
+    pid, nproc, port, devs, n_seqs, iters, qlen, maxlen = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], int(sys.argv[4]),
-        int(sys.argv[5]), int(sys.argv[6]),
+        int(sys.argv[5]), int(sys.argv[6]), int(sys.argv[7]),
+        int(sys.argv[8]),
     )
     os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={devs}"
     import jax
@@ -42,20 +43,20 @@ WORKER = textwrap.dedent(
 
     B62 = matrices.builtin("BLOSUM62")
     rng = np.random.default_rng(7)  # identical stream in every process
-    lens = rng.integers(40, 120, size=n_seqs)
+    lens = rng.integers(maxlen // 3, maxlen, size=n_seqs)
     seqs = [rng.integers(0, 20, int(n)).astype(np.uint8) for n in lens]
     db = SequenceDB.from_sequences(
         [f"s{i}" for i in range(n_seqs)], seqs, SymType.AMINOACID
     )
     mesh = make_db_mesh()
     eng = ShardedSearchEngine(db, B62, 10, 1, mesh, SearchParams())
-    q = rng.integers(0, 20, 64).astype(np.uint8)
+    q = rng.integers(0, 20, qlen).astype(np.uint8)
     s, i = eng.search(q, k=10, local=True)  # warm (compile + stacks)
     t0 = time.perf_counter()
     for _ in range(iters):
         s, i = eng.search(q, k=10, local=True)
     dt = (time.perf_counter() - t0) / iters
-    cells = 64 * int(lens.sum())
+    cells = qlen * int(lens.sum())
     if pid == 0:
         print("RESULT " + json.dumps({
             "processes": nproc, "devices_total": devs * nproc,
@@ -66,7 +67,7 @@ WORKER = textwrap.dedent(
 )
 
 
-def run_config(nproc: int, devs_per: int, n_seqs: int, iters: int, port: int):
+def run_config(nproc, devs_per, n_seqs, iters, port, qlen, maxlen):
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
         f.write(WORKER)
         path = f.name
@@ -74,7 +75,8 @@ def run_config(nproc: int, devs_per: int, n_seqs: int, iters: int, port: int):
         procs = [
             subprocess.Popen(
                 [sys.executable, path, str(pid), str(nproc), str(port),
-                 str(devs_per), str(n_seqs), str(iters)],
+                 str(devs_per), str(n_seqs), str(iters), str(qlen),
+                 str(maxlen)],
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             )
@@ -96,6 +98,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seqs", type=int, default=20000)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--query-len", type=int, default=64)
+    ap.add_argument("--maxlen", type=int, default=120)
     ap.add_argument("--port", type=int, default=29517)
     ap.add_argument(
         "--configs", default="1x4,2x2",
@@ -105,7 +109,8 @@ def main():
     args = ap.parse_args()
     for off, cfg in enumerate(args.configs.split(",")):
         nproc, devs = (int(x) for x in cfg.lower().split("x"))
-        run_config(nproc, devs, args.seqs, args.iters, args.port + off)
+        run_config(nproc, devs, args.seqs, args.iters, args.port + off,
+                   args.query_len, args.maxlen)
 
 
 if __name__ == "__main__":
