@@ -376,7 +376,8 @@ def longpair_score_pallas(
     Caller contract: |score| < 2**24 (``longpair.score_bound``) and
     ``len(q_codes) <= M_PAD_MAX`` (the per-symbol query planes must fit
     VMEM; ``longpair.longpair_score`` swaps/falls back). Subject length
-    is unbounded. Compilations key on (m_pad, T_pad, gaps, mode).
+    is unbounded. Compilations key on (m_pad, T_pad, gaps, mode, K)
+    where K is the select-tree plane count (``alphabet_planes``).
     """
     m, n = len(q_codes), len(s_codes)
     if m == 0 or n == 0:
