@@ -542,8 +542,8 @@ class SSAContext:
         The 1-vs-1 entry point (benchmark config #1): exact score +
         traceback using the configured matrix and gap penalties.
         ``mode=ComputeMode.SCORE`` skips the traceback and runs the
-        skewed-band Pallas kernel (ops/longpair — 62 GCUPS/chip on a
-        16k x 16k protein pair, 93 on a 32k x 32k ACGT pair, any pair
+        skewed-band Pallas kernel (ops/longpair — ~80 GCUPS/chip on a
+        16k x 16k protein pair, 124 on a 32k x 32k ACGT pair, any pair
         size via tiled chaining) instead of the O(m+n)-memory traceback
         fill; for genome-scale pairs this is the path to use.
         """

@@ -21,8 +21,12 @@ measurements plus a second bisect round on the banded form itself:
 Measured: 263 ns/step probe-equivalent at B=2048 — ~55 GCUPS on a
 16k x 16k pair; the r2 state of this path was ~1 GCUPS.
 
-**Skewed-band formulation.** The query is cut into ``B = m_pad/8`` bands
-of 8 rows; band ``b`` lives in LANE ``b`` (its 8 rows on the sublanes).
+**Skewed-band formulation.** The query is cut into ``B = m_pad/CH``
+bands of CH rows (CH = 8/16/32, picked by ``band_height`` from the
+alphabet size and query length — taller bands shrink the serialized
+lane rolls and the pipeline length at the cost of cross-vreg sublane
+rolls in the lazy-F scan); band ``b`` lives in LANE ``b`` (its CH rows
+on the sublanes).
 At kernel step ``t`` band ``b`` processes ITS subject column
 ``tau = t - b`` — a one-column-per-band skew: a software ring pipeline,
 exactly ``parallel/ring.py``'s row-block staircase with bands instead of
@@ -79,18 +83,19 @@ from jax.experimental.pallas import tpu as pltpu
 from ..constants import PADDED_ALPHABET
 
 NEG_F32 = float(-(2.0**24))
-M_PAD_MAX = 64 * 1024  # Pq (32, 8, B) bf16 must fit VMEM
+M_PAD_MAX = 64 * 1024  # Pq (32, CH, B) bf16 must fit VMEM
 UNROLL_STEPS = 32  # DP steps per fori iteration (see _kernel)
+CH_ROWS = 8  # band height (rows per lane); see _build(CH=...)
 
 
 def _kernel(
     mr_ref,  # (2,) int32 SMEM: [m_real, n_real] (traced)
     s_ref,  # (T,) int32 SMEM: subject codes, PAD beyond n_real
-    pq_ref,  # (K, 8, B) bf16: per-symbol query planes
-    out_ref,  # (8, B) f32: SW running max (NW: unused zeros)
+    pq_ref,  # (K, CH, B) bf16: per-symbol query planes
+    out_ref,  # (CH, B) f32: SW running max (NW: unused zeros)
     cap_ref,  # (1, B) f32: NW captured cells (per lane's column hit)
-    h_ref,  # (8, B) f32 scratch: carry inits (Mosaic rejects splat-
-    e_ref,  # (8, B) f32 scratch:  initialized fori carries — the known
+    h_ref,  # (CH, B) f32 scratch: carry inits (Mosaic rejects splat-
+    e_ref,  # (CH, B) f32 scratch:  initialized fori carries — the known
     buf_ref,  # (3, B) f32 scratch: relayout bug; see module docstring)
     *,
     B: int,
@@ -98,6 +103,7 @@ def _kernel(
     Q: int,
     R: int,
     K: int,
+    CH: int,
     local: bool,
     unroll: int,
 ):
@@ -108,23 +114,23 @@ def _kernel(
 
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
     lane0 = lane1 == 0
-    rid = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-    row0 = jax.lax.broadcasted_iota(jnp.int32, (8, B), 0) == 0
-    # Confined 8-row lazy-F masks (ops/interseq_pallas.py).
+    rid = jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (CH, B), 0) == 0
+    # Confined CH-row lazy-F masks (ops/interseq_pallas.py).
     masks = []
     d = 1
-    while d < 8:
+    while d < CH:
         masks.append(jnp.where(rid >= d, -d * Rf, NEG_F32))
         d *= 2
     fmask = jnp.where(rid >= 1, -Qf, NEG_F32)
     fdecay = -rid.astype(jnp.float32) * Rf
-    # NW column-0 boundary plane: H[i][0] = -(Q + (i-1) R), i = 8b + r + 1.
+    # NW column-0 boundary plane: H[i][0] = -(Q + (i-1) R), i = CH*b + r + 1.
     gi = (
-        jax.lax.broadcasted_iota(jnp.int32, (8, B), 1) * 8
-        + jax.lax.broadcasted_iota(jnp.int32, (8, B), 0)
+        jax.lax.broadcasted_iota(jnp.int32, (CH, B), 1) * CH
+        + jax.lax.broadcasted_iota(jnp.int32, (CH, B), 0)
     ).astype(jnp.float32)
     ibnd = -(Qf + gi * Rf)
-    rc = (mr - 1) % 8  # NW capture row within its band (traced)
+    rc = (mr - 1) % CH  # NW capture row within its band (traced)
 
     def sel_tree(symi):
         """Substitution plane select: binary tree over the K symbol planes.
@@ -147,7 +153,7 @@ def _kernel(
                 nxt.append(lvl[-1])
             lvl = nxt
             bit += 1
-        return lvl[0].astype(jnp.float32)  # (8, B)
+        return lvl[0].astype(jnp.float32)  # (CH, B)
 
     def make_step(warmup: bool, capture: bool):
         """One DP step; ``warmup`` adds the tau<0 masks (only correct —
@@ -190,13 +196,13 @@ def _kernel(
                 topF = jnp.where(dead, NEG_F32, topF)
             elif warmup:
                 tf = (t - lane1).astype(jnp.float32)
-                # Row-above column-0 boundary H[8b][0] for the diagonal
+                # Row-above column-0 boundary H[CH*b][0] for the diagonal
                 # at tau == 0 (band b-1's column 0 was never an update
                 # output).
                 diag0 = jnp.where(
                     lane0,
                     0.0,
-                    -(Qf + (8.0 * lane1.astype(jnp.float32) - 1.0) * Rf),
+                    -(Qf + (CH * lane1.astype(jnp.float32) - 1.0) * Rf),
                 )
                 tau = t - lane1
                 topH = jnp.where(
@@ -216,7 +222,7 @@ def _kernel(
                 topHd = jnp.where(lane0, -(Qf + (tsf - 1.0) * Rf), topHd)
                 topF = jnp.where(lane0, NEG_F32, topF)
 
-            # One interseq-style column update; CH = 8 = the whole band.
+            # One interseq-style column update over the whole CH-row band.
             e_new = jnp.maximum(e - Rf, h - Qf)
             hd = jnp.where(row0, topHd, pltpu.roll(h, shift=1, axis=0))
             hnof = jnp.maximum(hd + s_col, e_new)
@@ -248,9 +254,9 @@ def _kernel(
             return (
                 h_new,
                 e_new,
-                h_new[7:8, :],
+                h_new[CH - 1 : CH, :],
                 topH_raw,
-                f[7:8, :],
+                f[CH - 1 : CH, :],
                 sym,
                 acc,
                 cap,
@@ -262,12 +268,12 @@ def _kernel(
     # fori carries trip a Mosaic relayout bug ("replicated in destination
     # but not in source"), the same one ops/interseq_pallas.py works
     # around with ref-resident state.
-    h_ref[:] = jnp.zeros((8, B), jnp.float32)  # SW boundary; NW @ tau==0
-    e_ref[:] = jnp.full((8, B), NEG_F32, jnp.float32)
+    h_ref[:] = jnp.zeros((CH, B), jnp.float32)  # SW boundary; NW @ tau==0
+    e_ref[:] = jnp.full((CH, B), NEG_F32, jnp.float32)
     buf_ref[0:1, :] = jnp.zeros((1, B), jnp.float32)  # botH1
     buf_ref[1:2, :] = jnp.zeros((1, B), jnp.float32)  # topHd_raw
     buf_ref[2:3, :] = jnp.full((1, B), NEG_F32, jnp.float32)  # botF1
-    out_ref[:] = jnp.zeros((8, B), jnp.float32)
+    out_ref[:] = jnp.zeros((CH, B), jnp.float32)
     cap_ref[:] = jnp.full((1, B), NEG_F32, jnp.float32)
     init = (
         h_ref[:],
@@ -317,13 +323,14 @@ def _kernel(
 
 
 @functools.lru_cache(maxsize=64)
-def _build(m_pad, T, Q, R, local, interpret, K=PADDED_ALPHABET):
-    B = m_pad // 8
+def _build(m_pad, T, Q, R, local, interpret, K=PADDED_ALPHABET, CH=None):
+    CH = CH_ROWS if CH is None else CH
+    B = m_pad // CH
     # Interpret mode (CPU tests) keeps the loop rolled: the 32x body is
     # identical code, and interpreting it 32x inline is painfully slow.
     unroll = 1 if interpret else UNROLL_STEPS
     kernel = functools.partial(
-        _kernel, B=B, T=T, Q=Q, R=R, K=K, local=local, unroll=unroll
+        _kernel, B=B, T=T, Q=Q, R=R, K=K, CH=CH, local=local, unroll=unroll
     )
     call = pl.pallas_call(
         kernel,
@@ -337,12 +344,12 @@ def _build(m_pad, T, Q, R, local, interpret, K=PADDED_ALPHABET):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((8, B), jnp.float32),
+            jax.ShapeDtypeStruct((CH, B), jnp.float32),
             jax.ShapeDtypeStruct((1, B), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((8, B), jnp.float32),
-            pltpu.VMEM((8, B), jnp.float32),
+            pltpu.VMEM((CH, B), jnp.float32),
+            pltpu.VMEM((CH, B), jnp.float32),
             pltpu.VMEM((3, B), jnp.float32),
         ],
         interpret=interpret,
@@ -356,7 +363,7 @@ def _build(m_pad, T, Q, R, local, interpret, K=PADDED_ALPHABET):
         out, cap = call(mrnr, s_codes, pq)
         if local:
             return jnp.max(out).astype(jnp.int32)
-        band = (jnp.asarray(m_real, jnp.int32) - 1) // 8
+        band = (jnp.asarray(m_real, jnp.int32) - 1) // CH
         return cap[0, band].astype(jnp.int32)
 
     return run
@@ -370,14 +377,16 @@ def longpair_score_pallas(
     gap_r: int,
     local: bool = True,
     interpret: bool = False,
+    ch: int | None = None,
 ) -> int:
     """Exact SW/NW score of one pair on the skewed-band Pallas kernel.
 
     Caller contract: |score| < 2**24 (``longpair.score_bound``) and
     ``len(q_codes) <= M_PAD_MAX`` (the per-symbol query planes must fit
     VMEM; ``longpair.longpair_score`` swaps/falls back). Subject length
-    is unbounded. Compilations key on (m_pad, T_pad, gaps, mode, K)
-    where K is the select-tree plane count (``alphabet_planes``).
+    is unbounded. Compilations key on (m_pad, T_pad, gaps, mode, K, CH)
+    where K is the select-tree plane count (``alphabet_planes``) and CH
+    the band height (``band_height`` unless pinned via ``ch``).
     """
     m, n = len(q_codes), len(s_codes)
     if m == 0 or n == 0:
@@ -388,21 +397,26 @@ def longpair_score_pallas(
     if m > M_PAD_MAX * (PADDED_ALPHABET // K):
         raise ValueError(f"query too long for the VMEM planes ({m})")
     PAD = K - 1
-    m_pad = max(1024, -(-m // 1024) * 1024)
-    B = m_pad // 8
+    CH = band_height(K, m) if ch is None else int(ch)
+    # m_pad: B = m_pad/CH must be a lane multiple (>= 128) and an
+    # UNROLL_STEPS multiple for the phase bounds.
+    unit = max(1024, 128 * CH)
+    m_pad = max(unit, -(-m // unit) * unit)
+    B = m_pad // CH
     # Steps: every band must pass its last real column; pad to a 512
     # multiple (= an UNROLL_STEPS multiple) to bound compile-cache
     # fragmentation. The NW epilogue phase bound relies on this slack
     # being < 512 (see _kernel).
     T = -(-(n + B) // 512) * 512
 
-    pq = build_planes(q_codes, matrix_padded, m_pad, K)
+    pq = build_planes(q_codes, matrix_padded, m_pad, K, CH)
 
     s_full = np.full((T,), PAD, np.int32)
     s_full[:n] = s_codes
 
     run = _build(
-        m_pad, T, int(gap_q), int(gap_r), bool(local), bool(interpret), K
+        m_pad, T, int(gap_q), int(gap_r), bool(local), bool(interpret), K,
+        CH,
     )
     return int(
         run(
@@ -412,6 +426,28 @@ def longpair_score_pallas(
             jnp.asarray(pq.astype(np.float32)).astype(jnp.bfloat16),
         )
     )
+
+
+def band_height(K: int, m: int) -> int:
+    """Band height CH (rows per lane) for a query of m rows, K planes.
+
+    Trade-off (all measured on-chip, PERF_NOTES r3 "band height"): the
+    per-step lane rolls are serialized shuffles proportional to
+    B = m_pad/CH, and a smaller B also shortens the pipeline
+    (T = n + B) — but taller bands pay cross-vreg sublane rolls in the
+    confined lazy-F scan, and the sweet spot moves with the select-tree
+    size. Measured best cells: K=5 16k->CH16 / >=32k->CH32 (124 GCUPS at
+    32k); K=16 16k->CH16; K=25 16k->CH32 (80-88) / 32k->CH16 (68).
+    Small queries stay at CH8: their padding unit is 128*CH and they are
+    dispatch-bound anyway.
+    """
+    if m < 8192:
+        return 8
+    if K <= 5:
+        return 16 if m <= 16384 else 32
+    if K <= 16:
+        return 16
+    return 32 if m <= 16384 else 16
 
 
 def alphabet_planes(*code_arrays) -> int:
@@ -439,9 +475,11 @@ def alphabet_planes(*code_arrays) -> int:
     return PADDED_ALPHABET
 
 
-def build_planes(q_codes, matrix_padded, m_pad: int, K: int) -> np.ndarray:
-    """(K, 8, B) planes ``Pq[a, r, b] = sub(q[8b + r], a)``, pad at K-1."""
-    B = m_pad // 8
+def build_planes(
+    q_codes, matrix_padded, m_pad: int, K: int, CH: int = 8
+) -> np.ndarray:
+    """(K, CH, B) planes ``Pq[a, r, b] = sub(q[CH*b + r], a)``, pad K-1."""
+    B = m_pad // CH
     m = len(q_codes)
     # Map kernel code space (0..K-1, pad at K-1) onto matrix columns/rows
     # (0..31, pad at 31).
@@ -450,4 +488,4 @@ def build_planes(q_codes, matrix_padded, m_pad: int, K: int) -> np.ndarray:
     q_full = np.full((m_pad,), K - 1, np.int64)
     q_full[:m] = np.asarray(q_codes, np.int64)
     qprof = np.asarray(matrix_padded)[cmap[q_full]][:, cmap]  # (m_pad, K)
-    return np.ascontiguousarray(qprof.reshape(B, 8, K).transpose(2, 1, 0))
+    return np.ascontiguousarray(qprof.reshape(B, CH, K).transpose(2, 1, 0))

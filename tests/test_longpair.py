@@ -146,6 +146,38 @@ def test_alphabet_planes_rungs():
     assert alphabet_planes(a([2]), a([20])) == 25
 
 
+def test_band_height_rule():
+    """CH lookup pins the measured-best cells (PERF_NOTES r3)."""
+    from libssa_tpu.ops.longpair_pallas import band_height
+
+    assert band_height(5, 4000) == 8  # small queries stay at CH8
+    assert band_height(5, 16384) == 16
+    assert band_height(5, 32768) == 32
+    assert band_height(16, 16384) == 16
+    assert band_height(25, 16384) == 32
+    assert band_height(25, 32768) == 16
+
+
+@pytest.mark.parametrize("ch", [16, 32])
+@pytest.mark.parametrize("local", [True, False], ids=["sw", "nw"])
+def test_taller_bands_exact(ch, local):
+    """CH=16/32 band heights are bit-exact (incl. the NW capture row and
+    column-0 boundary at the taller band geometry)."""
+    from libssa_tpu.ops.longpair_pallas import longpair_score_pallas
+
+    rng = np.random.default_rng(ch + local)
+    for m, n in [(40, 60), (300, 700)]:
+        q = rng.integers(0, 20, m).astype(np.uint8)
+        s = rng.integers(0, 20, n).astype(np.uint8)
+        want = (oracle.sw_score if local else oracle.nw_score)(
+            q, s, B62.scores, 10, 1
+        )
+        got = longpair_score_pallas(
+            q, s, B62.padded(), 11, 1, local=local, interpret=True, ch=ch
+        )
+        assert got == want, (m, n, ch, local)
+
+
 @pytest.mark.parametrize("hi,K", [(4, 5), (15, 16), (24, 25)])
 @pytest.mark.parametrize("local", [True, False], ids=["sw", "nw"])
 def test_alphabet_sized_tree_exact(hi, K, local):
