@@ -35,6 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import PADDED_ALPHABET
+from .longpair_pallas import band_height
 from .ring_block_pallas import banded_tile, tile_shapes, top_stream_chunks
 
 NEG_F32 = float(-(2.0**24))
@@ -43,7 +44,7 @@ RB_DEF = 16384
 WC_DEF = 16384
 
 
-def _plan(m, n, RB, WC, interpret):
+def _plan(m, n, RB, WC, interpret, K=PADDED_ALPHABET):
     # FIXED two-level tile ladder: recursion subproblem sizes vary
     # continuously, and every distinct (RB, WC) is a separate Pallas
     # compile (tens of seconds via the remote-compile tunnel). Small
@@ -54,7 +55,10 @@ def _plan(m, n, RB, WC, interpret):
     if interpret:  # CPU tests: tiny tiles keep interpret time sane
         RB = min(RB, max(256, -(-m // 256) * 256))
         WC = min(WC, max(256, -(-n // 256) * 256))
-    T, B = tile_shapes(RB, WC, interpret)
+    # Band height: measured lookup (longpair_pallas.band_height); the
+    # tile ladder's small tiles stay at 8 (B must stay a lane multiple).
+    CH = 8 if (interpret or RB < 8192) else band_height(K, RB)
+    T, B = tile_shapes(RB, WC, interpret, CH)
     Rb, Cc = -(-m // RB), -(-n // WC)
     if not interpret:
         # Grid dims round up to powers of two: every (Rb, Cc) pair is an
@@ -64,10 +68,11 @@ def _plan(m, n, RB, WC, interpret):
         # compute (cheap next to a dispatch), exactness untouched.
         Rb = 1 << (Rb - 1).bit_length()
         Cc = 1 << (Cc - 1).bit_length()
-    return RB, WC, T, B, Rb, Cc
+    return RB, WC, T, B, Rb, Cc, CH
 
 
-def _pq_blocks(q_codes, matrix_padded, Rb, RB, B, K=PADDED_ALPHABET):
+def _pq_blocks(q_codes, matrix_padded, Rb, RB, B, K=PADDED_ALPHABET,
+               CH=8):
     # K-code space: pad at K-1, matrix pad column/row mapped onto it
     # (longpair_pallas.alphabet_planes / build_planes convention).
     cmap = np.arange(K, dtype=np.int64)
@@ -76,7 +81,7 @@ def _pq_blocks(q_codes, matrix_padded, Rb, RB, B, K=PADDED_ALPHABET):
     q_full[: len(q_codes)] = np.asarray(q_codes, np.int64)
     qprof = np.asarray(matrix_padded)[cmap[q_full]][:, cmap]
     return np.ascontiguousarray(
-        qprof.reshape(Rb, B, 8, K).transpose(0, 3, 2, 1)
+        qprof.reshape(Rb, B, CH, K).transpose(0, 3, 2, 1)
     ).astype(np.float32)
 
 
@@ -91,11 +96,11 @@ def _s_chunks(s_codes, Cc, WC, T, K=PADDED_ALPHABET):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("RB", "WC", "Q", "R", "interpret", "K"),
+    static_argnames=("RB", "WC", "Q", "R", "interpret", "K", "CH"),
 )
 def _rows_score(
     pq_blocks, s_chunks, m, tbf, *, RB, WC, Q, R, interpret,
-    K=PADDED_ALPHABET,
+    K=PADDED_ALPHABET, CH=8,
 ):
     """NW grid fill; returns the FULL padded H and F streams of DP row
     ``m`` (traced; callers slice [:n]).
@@ -104,11 +109,13 @@ def _rows_score(
     gap crosses the subproblem boundary) — traced, so one compilation
     serves both.
     """
-    T, B = tile_shapes(RB, WC, interpret)
+    T, B = tile_shapes(RB, WC, interpret, CH)
     Rb = pq_blocks.shape[0]
     Cc = s_chunks.shape[0]
     n_pad = Cc * WC
-    tile = banded_tile(RB, WC, Q, R, False, interpret, n_planes=K)
+    tile = banded_tile(
+        RB, WC, Q, R, False, interpret, n_planes=K, ch=CH
+    )
     Qf, Rf = jnp.float32(Q), jnp.float32(R)
     tbf = jnp.asarray(tbf, jnp.float32)
     m = jnp.asarray(m, jnp.int32)
@@ -129,13 +136,13 @@ def _rows_score(
         pq_r, r = xs
         i0 = r * RB + 1
         rows = i0 + jnp.arange(RB, dtype=jnp.int32)
-        lH0 = lcol(rows).reshape(B, 8)
-        lD0 = lcol(rows.reshape(B, 8)[:, 0] - 1).reshape(1, B)
+        lH0 = lcol(rows).reshape(B, CH)
+        lD0 = lcol(rows.reshape(B, CH)[:, 0] - 1).reshape(1, B)
         corner0 = lcol(jnp.asarray(i0 - 1, jnp.int32)).reshape(1)
         topH_ext = jnp.concatenate([corner0, botH_full])
         is_cap = r == cap_blk
-        bot_band = jnp.where(is_cap, last_local // 8, B - 1)
-        bot_row = jnp.where(is_cap, last_local % 8, 7)
+        bot_band = jnp.where(is_cap, last_local // CH, B - 1)
+        bot_row = jnp.where(is_cap, last_local % CH, CH - 1)
 
         def chunk(ccarry, cxs):
             rH_prev, rE_prev = ccarry
@@ -143,13 +150,14 @@ def _rows_score(
             first = c == 0
             lH = jnp.where(first, lH0.T, rH_prev)
             lE = jnp.where(
-                first, jnp.full((8, B), NEG_F32, jnp.float32), rE_prev
+                first, jnp.full((CH, B), NEG_F32, jnp.float32), rE_prev
             )
             lD = jnp.where(
                 first,
                 lD0,
                 jnp.concatenate(
-                    [jnp.zeros((1, 1), jnp.float32), rH_prev[7:8, :-1]],
+                    [jnp.zeros((1, 1), jnp.float32),
+                     rH_prev[CH - 1 : CH, :-1]],
                     axis=1,
                 ),
             )
@@ -166,8 +174,8 @@ def _rows_score(
         _, (bHs, bFs) = jax.lax.scan(
             chunk,
             (
-                jnp.zeros((8, B), jnp.float32),
-                jnp.full((8, B), NEG_F32, jnp.float32),
+                jnp.zeros((CH, B), jnp.float32),
+                jnp.full((CH, B), NEG_F32, jnp.float32),
             ),
             (s_chunks, topH_chunks, topF_chunks, cs),
         )
@@ -211,16 +219,16 @@ def mm_pass_rows(
 
     m, n = len(q_codes), len(s_codes)
     Q, R = int(gap_q), int(gap_r)
-    RB, WC, T, B, Rb, Cc = _plan(m, n, RB, WC, interpret)
     K = alphabet_planes(np.asarray(q_codes), np.asarray(s_codes))
+    RB, WC, T, B, Rb, Cc, CH = _plan(m, n, RB, WC, interpret, K)
     tb = 0 if tb_is_zero else Q - R
     bH, bF = _rows_score(
         jnp.asarray(
-            _pq_blocks(q_codes, matrix_padded, Rb, RB, B, K)
+            _pq_blocks(q_codes, matrix_padded, Rb, RB, B, K, CH)
         ).astype(jnp.bfloat16),
         jnp.asarray(_s_chunks(s_codes, Cc, WC, T, K)),
         m, float(tb),
-        RB=RB, WC=WC, Q=Q, R=R, interpret=bool(interpret), K=K,
+        RB=RB, WC=WC, Q=Q, R=R, interpret=bool(interpret), K=K, CH=CH,
     )
     bH, bF = np.asarray(bH)[:n], np.asarray(bF)[:n]
     CC = np.empty(n + 1, np.int64)
@@ -234,10 +242,10 @@ def mm_pass_rows(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("RB", "WC", "Q", "R", "interpret", "K"),
+    static_argnames=("RB", "WC", "Q", "R", "interpret", "K", "CH"),
 )
 def _rows_score_pair(pq2, s2, m2, tb2, *, RB, WC, Q, R, interpret,
-                     K=PADDED_ALPHABET):
+                     K=PADDED_ALPHABET, CH=8):
     """Both Myers-Miller divide passes (forward + reverse) in ONE
     program: ``lax.map`` over the stacked problems — halves the
     dispatch+fence count of every recursion level (the warm-time cost of
@@ -245,7 +253,7 @@ def _rows_score_pair(pq2, s2, m2, tb2, *, RB, WC, Q, R, interpret,
     return jax.lax.map(
         lambda x: _rows_score(
             x[0], x[1], x[2], x[3],
-            RB=RB, WC=WC, Q=Q, R=R, interpret=interpret, K=K,
+            RB=RB, WC=WC, Q=Q, R=R, interpret=interpret, K=K, CH=CH,
         ),
         (pq2, s2, m2, tb2),
     )
@@ -277,19 +285,19 @@ def mm_pass_rows_pair(
     mf, nf = len(qf_codes), len(sf_codes)
     mr, nr = len(qr_codes), len(sr_codes)
     Q, R = int(gap_q), int(gap_r)
-    plan_f = _plan(mf, nf, RB, WC, interpret)
-    if plan_f != _plan(mr, nr, RB, WC, interpret):
-        return None
-    RB, WC, T, B, Rb, Cc = plan_f
     K = alphabet_planes(
         np.asarray(qf_codes), np.asarray(sf_codes),
         np.asarray(qr_codes), np.asarray(sr_codes),
     )
+    plan_f = _plan(mf, nf, RB, WC, interpret, K)
+    if plan_f != _plan(mr, nr, RB, WC, interpret, K):
+        return None
+    RB, WC, T, B, Rb, Cc, CH = plan_f
     tbs = (0 if tbf_is_zero else Q - R, 0 if tbr_is_zero else Q - R)
     pq2 = np.stack(
         [
-            _pq_blocks(qf_codes, matrix_padded, Rb, RB, B, K),
-            _pq_blocks(qr_codes, matrix_padded, Rb, RB, B, K),
+            _pq_blocks(qf_codes, matrix_padded, Rb, RB, B, K, CH),
+            _pq_blocks(qr_codes, matrix_padded, Rb, RB, B, K, CH),
         ]
     )
     s2 = np.stack(
@@ -300,7 +308,7 @@ def mm_pass_rows_pair(
         jnp.asarray(s2),
         jnp.asarray([mf, mr], jnp.int32),
         jnp.asarray([float(t) for t in tbs], jnp.float32),
-        RB=RB, WC=WC, Q=Q, R=R, interpret=bool(interpret), K=K,
+        RB=RB, WC=WC, Q=Q, R=R, interpret=bool(interpret), K=K, CH=CH,
     )
     bH2, bF2 = np.asarray(bH2), np.asarray(bF2)
     out = []
@@ -317,20 +325,20 @@ def mm_pass_rows_pair(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("RB", "WC", "Q", "R", "interpret", "K"),
+    static_argnames=("RB", "WC", "Q", "R", "interpret", "K", "CH"),
 )
 def _sw_end_score(pq_blocks, s_chunks, *, RB, WC, Q, R, interpret,
-                  K=PADDED_ALPHABET):
+                  K=PADDED_ALPHABET, CH=8):
     """SW grid fill with per-cell argmax-step tracking.
 
-    Returns stacked per-tile (acc, tbest) — (Rb, Cc, 8, B) each.
+    Returns stacked per-tile (acc, tbest) — (Rb, Cc, CH, B) each.
     """
-    T, B = tile_shapes(RB, WC, interpret)
+    T, B = tile_shapes(RB, WC, interpret, CH)
     Rb = pq_blocks.shape[0]
     Cc = s_chunks.shape[0]
     n_pad = Cc * WC
     tile = banded_tile(
-        RB, WC, Q, R, True, interpret, track_pos=True, n_planes=K
+        RB, WC, Q, R, True, interpret, track_pos=True, n_planes=K, ch=CH
     )
 
     def row_block(carry, xs):
@@ -344,15 +352,18 @@ def _sw_end_score(pq_blocks, s_chunks, *, RB, WC, Q, R, interpret,
             rH_prev, rE_prev = ccarry
             s_c, topH_c, topF_c, c = cxs
             first = c == 0
-            lH = jnp.where(first, jnp.zeros((8, B), jnp.float32), rH_prev)
+            lH = jnp.where(
+                first, jnp.zeros((CH, B), jnp.float32), rH_prev
+            )
             lE = jnp.where(
-                first, jnp.full((8, B), NEG_F32, jnp.float32), rE_prev
+                first, jnp.full((CH, B), NEG_F32, jnp.float32), rE_prev
             )
             lD = jnp.where(
                 first,
                 jnp.zeros((1, B), jnp.float32),
                 jnp.concatenate(
-                    [jnp.zeros((1, 1), jnp.float32), rH_prev[7:8, :-1]],
+                    [jnp.zeros((1, 1), jnp.float32),
+                     rH_prev[CH - 1 : CH, :-1]],
                     axis=1,
                 ),
             )
@@ -368,8 +379,8 @@ def _sw_end_score(pq_blocks, s_chunks, *, RB, WC, Q, R, interpret,
         _, (accs, tbests, bHs, bFs) = jax.lax.scan(
             chunk,
             (
-                jnp.zeros((8, B), jnp.float32),
-                jnp.full((8, B), NEG_F32, jnp.float32),
+                jnp.zeros((CH, B), jnp.float32),
+                jnp.full((CH, B), NEG_F32, jnp.float32),
             ),
             (s_chunks, topH_chunks, topF_chunks, cs),
         )
@@ -383,15 +394,15 @@ def _sw_end_score(pq_blocks, s_chunks, *, RB, WC, Q, R, interpret,
         (pq_blocks, jnp.arange(Rb, dtype=jnp.int32)),
     )
     # Reduce the argmax + (smallest gi, then gj) tie-break ON DEVICE: the
-    # per-tile stacks are (Rb, Cc, 8, B) — hundreds of MB for giant pairs
-    # — while the caller only needs three scalars, and the serving-link
-    # fetch is ~7 MB/s (docs/PERF_NOTES.md).
-    shape = accs.shape  # (Rb, Cc, 8, B)
+    # per-tile stacks are (Rb, Cc, CH, B) — hundreds of MB for giant
+    # pairs — while the caller only needs three scalars, and the
+    # serving-link fetch is ~7 MB/s (docs/PERF_NOTES.md).
+    shape = accs.shape  # (Rb, Cc, CH, B)
     rblk = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     cblk = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     r8 = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
     band = jax.lax.broadcasted_iota(jnp.int32, shape, 3)
-    gi = rblk * RB + band * 8 + r8 + 1
+    gi = rblk * RB + band * CH + r8 + 1
     gj = cblk * WC + (tbests.astype(jnp.int32) - band) + 1
     best = jnp.max(accs)
     mask = accs == best
@@ -418,14 +429,14 @@ def sw_end_cell(
 
     m, n = len(q_codes), len(s_codes)
     Q, R = int(gap_q), int(gap_r)
-    RB, WC, T, B, Rb, Cc = _plan(m, n, RB, WC, interpret)
     K = alphabet_planes(np.asarray(q_codes), np.asarray(s_codes))
+    RB, WC, T, B, Rb, Cc, CH = _plan(m, n, RB, WC, interpret, K)
     best, gi, gj = _sw_end_score(
         jnp.asarray(
-            _pq_blocks(q_codes, matrix_padded, Rb, RB, B, K)
+            _pq_blocks(q_codes, matrix_padded, Rb, RB, B, K, CH)
         ).astype(jnp.bfloat16),
         jnp.asarray(_s_chunks(s_codes, Cc, WC, T, K)),
-        RB=RB, WC=WC, Q=Q, R=R, interpret=bool(interpret), K=K,
+        RB=RB, WC=WC, Q=Q, R=R, interpret=bool(interpret), K=K, CH=CH,
     )
     # Three scalars fetched; the argmax + (smallest i, then j) tie-break
     # — the oracle's convention; the latched step t inside the kernel

@@ -70,18 +70,18 @@ def _kernel(
     s_ref,  # (T,) int32 SMEM: this tile's subject codes, PAD beyond W
     topH_ref,  # (T+1,) f32 SMEM: corner-first top-row H stream
     topF_ref,  # (T,) f32 SMEM: top-row F stream
-    pq_ref,  # (32, 8, B) bf16: per-symbol query planes of this row block
-    lH_ref,  # (8, B) f32: left-boundary H column (band-major)
-    lE_ref,  # (8, B) f32: left-boundary E column
+    pq_ref,  # (K, CH, B) bf16: per-symbol query planes of this row block
+    lH_ref,  # (CH, B) f32: left-boundary H column (band-major)
+    lE_ref,  # (CH, B) f32: left-boundary E column
     ld_ref,  # (1, B) f32: left-boundary diagonal (row above each band)
-    acc_ref,  # (8, B) f32 out: SW running max (garbage in NW mode)
+    acc_ref,  # (CH, B) f32 out: SW running max (garbage in NW mode)
     cap_ref,  # (1, B) f32 out: mid-cell latch per lane (see module doc)
-    rH_ref,  # (8, B) f32 out: right-edge H (tau == W-1)
-    rE_ref,  # (8, B) f32 out: right-edge E
+    rH_ref,  # (CH, B) f32 out: right-edge H (tau == W-1)
+    rE_ref,  # (CH, B) f32 out: right-edge E
     botH_ref,  # (Wn, B) f32 out: bottom H windows (flat[t] = col t - bb)
     botF_ref,  # (Wn, B) f32 out: bottom F windows
-    tb_ref,  # (8, B) f32 out: per-cell earliest argmax step (track_pos)
-    h_ref,  # (8, B) f32 scratch (carry init round-trip; Mosaic splat bug)
+    tb_ref,  # (CH, B) f32 out: per-cell earliest argmax step (track_pos)
+    h_ref,  # (CH, B) f32 scratch (carry init round-trip; Mosaic splat bug)
     e_ref,
     buf_ref,  # (6, B) f32 scratch
     *,
@@ -91,6 +91,7 @@ def _kernel(
     Q: int,
     R: int,
     K: int,
+    CH: int,
     local: bool,
     track_pos: bool,
     unroll: int,
@@ -101,21 +102,21 @@ def _kernel(
     cc = sc_ref[1]
     bb = sc_ref[2]  # bottom-stream band (B-1 for the true bottom row)
     br = sc_ref[3]  # bottom-stream row within the band (7 for the bottom)
-    rc = cr % 8  # capture row within its band
+    rc = cr % CH  # capture row within its band
     T = Wn * B
 
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
     lane0 = lane1 == 0
-    rid = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-    row0 = jax.lax.broadcasted_iota(jnp.int32, (8, B), 0) == 0
+    rid = jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)
+    row0 = jax.lax.broadcasted_iota(jnp.int32, (CH, B), 0) == 0
     masks = []
     d = 1
-    while d < 8:
+    while d < CH:
         masks.append(jnp.where(rid >= d, -d * Rf, NEG_F32))
         d *= 2
     fmask = jnp.where(rid >= 1, -Qf, NEG_F32)
     fdecay = -rid.astype(jnp.float32) * Rf
-    rid8 = jax.lax.broadcasted_iota(jnp.int32, (8, B), 0)
+    rid8 = jax.lax.broadcasted_iota(jnp.int32, (CH, B), 0)
     rowX = rid8 == br  # traced: the bottom-stream row mask
     laneX = lane1 == bb  # traced: the bottom-stream band lane
 
@@ -215,7 +216,8 @@ def _kernel(
             abF = jnp.where(laneX, bf_, pltpu.roll(abF, shift=B - 1, axis=1))
 
             return (
-                h_new, e_new, h_new[7:8, :], topH, f[7:8, :], sym,
+                h_new, e_new, h_new[CH - 1 : CH, :], topH,
+                f[CH - 1 : CH, :], sym,
                 acc, cap, rH, rE, abH, abF, tbest,
             )
 
@@ -223,19 +225,19 @@ def _kernel(
 
     # Carry inits round-trip through scratch refs (Mosaic splat-carry
     # relayout bug; see longpair_pallas.py).
-    h_ref[:] = jnp.zeros((8, B), jnp.float32)
-    e_ref[:] = jnp.full((8, B), NEG_F32, jnp.float32)
+    h_ref[:] = jnp.zeros((CH, B), jnp.float32)
+    e_ref[:] = jnp.full((CH, B), NEG_F32, jnp.float32)
     buf_ref[0:1, :] = jnp.zeros((1, B), jnp.float32)  # botH1
     buf_ref[1:2, :] = jnp.zeros((1, B), jnp.float32)  # topHd_raw
     buf_ref[2:3, :] = jnp.full((1, B), NEG_F32, jnp.float32)  # botF1
     buf_ref[3:4, :] = jnp.full((1, B), NEG_F32, jnp.float32)  # cap
     buf_ref[4:5, :] = jnp.zeros((1, B), jnp.float32)  # abH
     buf_ref[5:6, :] = jnp.zeros((1, B), jnp.float32)  # abF
-    acc_ref[:] = jnp.zeros((8, B), jnp.float32)
-    rH_ref[:] = jnp.zeros((8, B), jnp.float32)
-    rE_ref[:] = jnp.full((8, B), NEG_F32, jnp.float32)
+    acc_ref[:] = jnp.zeros((CH, B), jnp.float32)
+    rH_ref[:] = jnp.zeros((CH, B), jnp.float32)
+    rE_ref[:] = jnp.full((CH, B), NEG_F32, jnp.float32)
     cap_ref[:] = jnp.full((1, B), NEG_F32, jnp.float32)
-    tb_ref[:] = jnp.full((8, B), -1.0, jnp.float32)
+    tb_ref[:] = jnp.full((CH, B), -1.0, jnp.float32)
     carry = (
         h_ref[:], e_ref[:],
         buf_ref[0:1, :], buf_ref[1:2, :], buf_ref[2:3, :],
@@ -285,15 +287,15 @@ def _kernel(
 
 @functools.lru_cache(maxsize=64)
 def _build(RB, W, Q, R, local, interpret, track_pos=False,
-           K=PADDED_ALPHABET):
-    B = RB // 8
+           K=PADDED_ALPHABET, CH=8):
+    B = RB // CH
     unroll = 1 if interpret else UNROLL_STEPS
     if B % unroll:
-        raise ValueError(f"RB/8 = {B} must be a multiple of {unroll}")
+        raise ValueError(f"RB/CH = {B} must be a multiple of {unroll}")
     Wn = -(-(W + B) // B)  # ceil((W + B)/B) windows; T = Wn*B >= W + B
     T = Wn * B
     kernel = functools.partial(
-        _kernel, B=B, W=W, Wn=Wn, Q=Q, R=R, K=K, local=local,
+        _kernel, B=B, W=W, Wn=Wn, Q=Q, R=R, K=K, CH=CH, local=local,
         track_pos=track_pos, unroll=unroll,
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -303,17 +305,17 @@ def _build(RB, W, Q, R, local, interpret, track_pos=False,
         in_specs=[smem, smem, smem, smem, vmem, vmem, vmem, vmem],
         out_specs=[vmem] * 7,
         out_shape=[
-            jax.ShapeDtypeStruct((8, B), jnp.float32),  # acc
+            jax.ShapeDtypeStruct((CH, B), jnp.float32),  # acc
             jax.ShapeDtypeStruct((1, B), jnp.float32),  # cap
-            jax.ShapeDtypeStruct((8, B), jnp.float32),  # right H
-            jax.ShapeDtypeStruct((8, B), jnp.float32),  # right E
+            jax.ShapeDtypeStruct((CH, B), jnp.float32),  # right H
+            jax.ShapeDtypeStruct((CH, B), jnp.float32),  # right E
             jax.ShapeDtypeStruct((Wn, B), jnp.float32),  # bottom H
             jax.ShapeDtypeStruct((Wn, B), jnp.float32),  # bottom F
-            jax.ShapeDtypeStruct((8, B), jnp.float32),  # tbest (track_pos)
+            jax.ShapeDtypeStruct((CH, B), jnp.float32),  # tbest (track_pos)
         ],
         scratch_shapes=[
-            pltpu.VMEM((8, B), jnp.float32),
-            pltpu.VMEM((8, B), jnp.float32),
+            pltpu.VMEM((CH, B), jnp.float32),
+            pltpu.VMEM((CH, B), jnp.float32),
             pltpu.VMEM((6, B), jnp.float32),
         ],
         interpret=interpret,
@@ -321,12 +323,12 @@ def _build(RB, W, Q, R, local, interpret, track_pos=False,
 
     def run(
         s_codes, topH, topF, pq, leftH, leftE, leftD, cap_row, cap_col,
-        bot_band=B - 1, bot_row=7,
+        bot_band=B - 1, bot_row=CH - 1,
     ):
         """Jit-composable tile sweep. Shapes per _kernel; returns
         (acc, cap, rightH, rightE, botH_flat, botF_flat[, tbest]) where
-        the bottom streams (H and F of query row 8*bot_band + bot_row,
-        1-based row 8*bot_band + bot_row + 1) are re-based so entry j =
+        the bottom streams (H and F of query row CH*bot_band + bot_row,
+        1-based row CH*bot_band + bot_row + 1) are re-based so entry j =
         column j's value."""
         bb = jnp.asarray(bot_band, jnp.int32)
         sc = jnp.stack(
@@ -353,12 +355,12 @@ def _build(RB, W, Q, R, local, interpret, track_pos=False,
     return run, T
 
 
-def tile_shapes(RB: int, W: int, interpret: bool = False):
+def tile_shapes(RB: int, W: int, interpret: bool = False, ch: int = 8):
     """(T, B) the wrapper needs for host-side stream sizing."""
-    B = RB // 8
+    B = RB // ch
     unroll = 1 if interpret else UNROLL_STEPS
     if B % unroll:
-        raise ValueError(f"RB/8 = {B} must be a multiple of {unroll}")
+        raise ValueError(f"RB/CH = {B} must be a multiple of {unroll}")
     Wn = -(-(W + B) // B)
     return Wn * B, B
 
@@ -372,24 +374,27 @@ def banded_tile(
     interpret: bool = False,
     track_pos: bool = False,
     n_planes: int = PADDED_ALPHABET,
+    ch: int = 8,
 ):
     """Compiled tile sweep for (RB x W) tiles at the given penalties.
 
     ``n_planes`` (K) sizes the substitution select tree — callers derive
     it with ``longpair_pallas.alphabet_planes`` and build pq/s codes in
-    the remapped K-code space (PAD = K-1).
+    the remapped K-code space (PAD = K-1). ``ch`` is the band height
+    (``longpair_pallas.band_height`` rationale: taller bands shrink the
+    serialized lane rolls; B = RB/ch lanes).
 
     Call signature of the returned function: see ``_build.run``.
     Inputs sized by ``tile_shapes``: s_codes (T,) int32 (PAD beyond the
     real columns), topH (T+1,) f32 corner-first, topF (T,) f32, pq
-    (K, 8, RB/8) bf16, leftH/leftE (8, RB/8) f32 band-major
-    (leftH[r, b] = H[rowblock_base + 8b + r][c0 - 1]), leftD (1, RB/8)
-    f32 (leftD[b] = H[base + 8b - 1][c0 - 1]; lane 0's value is unused —
-    the corner rides topH[0]).
+    (K, ch, B) bf16, leftH/leftE (ch, B) f32 band-major
+    (leftH[r, b] = H[rowblock_base + ch*b + r][c0 - 1]), leftD (1, B)
+    f32 (leftD[b] = H[base + ch*b - 1][c0 - 1]; lane 0's value is
+    unused — the corner rides topH[0]).
     """
     run, _T = _build(
         int(RB), int(W), int(gap_q), int(gap_r), bool(local),
-        bool(interpret), bool(track_pos), int(n_planes),
+        bool(interpret), bool(track_pos), int(n_planes), int(ch),
     )
     return run
 

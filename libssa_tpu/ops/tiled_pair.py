@@ -51,10 +51,12 @@ SENTINEL = -(2**30)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("RB", "WC", "Q", "R", "local", "interpret", "K"),
+    static_argnames=(
+        "RB", "WC", "Q", "R", "local", "interpret", "K", "CH",
+    ),
 )
 def _tiled_score(
-    pq_blocks,  # (Rb, K, 8, B) bf16 per-row-block query planes
+    pq_blocks,  # (Rb, K, CH, B) bf16 per-row-block query planes
     s_chunks,  # (Cc, T) int32 per-chunk subject codes (PAD-tailed)
     m,  # traced int32: real query length (pair sizes vary continuously;
     n,  # traced int32: real subject length   a retrace per size would
@@ -67,12 +69,15 @@ def _tiled_score(
     local: bool,
     interpret: bool,
     K: int = PADDED_ALPHABET,
+    CH: int = 8,
 ):
-    T, B = tile_shapes(RB, WC, interpret)
+    T, B = tile_shapes(RB, WC, interpret, CH)
     Rb = pq_blocks.shape[0]
     Cc = s_chunks.shape[0]
     n_pad = Cc * WC
-    tile = banded_tile(RB, WC, Q, R, local, interpret, n_planes=K)
+    tile = banded_tile(
+        RB, WC, Q, R, local, interpret, n_planes=K, ch=CH
+    )
     Qf, Rf = jnp.float32(Q), jnp.float32(R)
 
     cap_row_g = m - 1  # global end cell (NW)
@@ -90,7 +95,7 @@ def _tiled_score(
             lD0 = jnp.zeros((B,), jnp.float32)
         else:
             lH0 = nw_boundary(rows, Qf, Rf)
-            lD0 = nw_boundary(rows.reshape(B, 8)[:, 0] - 1, Qf, Rf)
+            lD0 = nw_boundary(rows.reshape(B, CH)[:, 0] - 1, Qf, Rf)
         lE0 = jnp.full((RB,), NEG_F32, jnp.float32)
         # Corner-first extended top stream H[i0-1][0..n_pad].
         if local:
@@ -106,14 +111,15 @@ def _tiled_score(
             # Left boundary: chunk 0 formulas, else the previous chunk's
             # right edge. (8, B) band-major.
             lH = jnp.where(
-                first, lH0.reshape(B, 8).T, rH_prev
+                first, lH0.reshape(B, CH).T, rH_prev
             )
-            lE = jnp.where(first, lE0.reshape(B, 8).T, rE_prev)
+            lE = jnp.where(first, lE0.reshape(B, CH).T, rE_prev)
             lD = jnp.where(
                 first,
                 lD0.reshape(1, B),
                 jnp.concatenate(
-                    [jnp.zeros((1, 1), jnp.float32), rH_prev[7:8, :-1]],
+                    [jnp.zeros((1, 1), jnp.float32),
+                     rH_prev[CH - 1 : CH, :-1]],
                     axis=1,
                 ),
             )
@@ -128,7 +134,7 @@ def _tiled_score(
             acc, cap, rH, rE, bH, bF = tile(
                 s_c, topH_c, topF_c, pq_r, lH, lE, lD, cap_row, cap_col
             )
-            band = cap_row // 8
+            band = cap_row // CH
             cap_val = jnp.take(cap[0], band)
             return (rH, rE), (jnp.max(acc), cap_val, bH, bF)
 
@@ -139,8 +145,8 @@ def _tiled_score(
         (rH_f, rE_f), (accs, caps, bHs, bFs) = jax.lax.scan(
             chunk,
             (
-                jnp.zeros((8, B), jnp.float32),
-                jnp.full((8, B), NEG_F32, jnp.float32),
+                jnp.zeros((CH, B), jnp.float32),
+                jnp.full((CH, B), NEG_F32, jnp.float32),
             ),
             (s_chunks, topH_chunks, topF_chunks, cs),
         )
@@ -198,9 +204,9 @@ def tiled_pair_score(
     from .longpair_pallas import alphabet_planes
     from .mm_device import _plan, _pq_blocks, _s_chunks
 
-    RB, WC, T, B, Rb, Cc = _plan(m, n, RB, WC, interpret)
     K = alphabet_planes(np.asarray(q_codes), np.asarray(s_codes))
-    pq_blocks = _pq_blocks(q_codes, matrix_padded, Rb, RB, B, K)
+    RB, WC, T, B, Rb, Cc, CH = _plan(m, n, RB, WC, interpret, K)
+    pq_blocks = _pq_blocks(q_codes, matrix_padded, Rb, RB, B, K, CH)
     s_chunks = _s_chunks(s_codes, Cc, WC, T, K)
 
     return int(
@@ -216,5 +222,6 @@ def tiled_pair_score(
             local=bool(local),
             interpret=bool(interpret),
             K=K,
+            CH=CH,
         )
     )

@@ -86,6 +86,39 @@ def test_tiled_alphabet_sized_tree(hi, K):
         assert got == want
 
 
+@pytest.mark.parametrize("ch", [16, 32])
+def test_tiled_taller_bands_exact(ch):
+    """CH=16/32 tile geometry is bit-exact across tile boundaries (the
+    production band_height pick for >=8k tiles; _plan keeps interpret
+    tiles at CH8, so force it here)."""
+    from libssa_tpu.ops.tiled_pair import _tiled_score
+    from libssa_tpu.ops.mm_device import _pq_blocks, _s_chunks
+    from libssa_tpu.ops.ring_block_pallas import tile_shapes
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(ch)
+    m, n, RB, WC = 530, 610, 256, 256
+    q = rng.integers(0, 20, m).astype(np.uint8)
+    s = rng.integers(0, 20, n).astype(np.uint8)
+    T, B = tile_shapes(RB, WC, True, ch)
+    Rb, Cc = -(-m // RB), -(-n // WC)
+    pq = _pq_blocks(q, B62.padded(), Rb, RB, B, 25, ch)
+    sc = _s_chunks(s, Cc, WC, T, 25)
+    for local in (True, False):
+        want = (oracle.sw_score if local else oracle.nw_score)(
+            q, s, B62.scores, 10, 1
+        )
+        got = int(
+            _tiled_score(
+                jnp.asarray(pq).astype(jnp.bfloat16), jnp.asarray(sc),
+                jnp.int32(m), jnp.int32(n),
+                RB=RB, WC=WC, Q=11, R=1, local=local, interpret=True,
+                K=25, CH=ch,
+            )
+        )
+        assert got == want, (ch, local)
+
+
 def test_tiled_gap_only_and_identical():
     # Degenerate pairs crossing tile boundaries.
     q = np.tile(np.arange(20, dtype=np.uint8), 30)[:520]
