@@ -7,8 +7,8 @@ machinery:
 
   * score-only at kernel rate (``ops/longpair_pallas``, skewed-band
     Pallas kernel; plain-ACGT pairs select over 5 substitution planes
-    and run ~93 GCUPS/chip at 32k x 32k — alphabet-sized trees,
-    docs/PERF_NOTES.md r3),
+    and run ~124 GCUPS/chip at 32k x 32k — alphabet-sized trees +
+    measured band heights, docs/PERF_NOTES.md r3),
   * full traceback in O(m+n) memory (Myers-Miller with device row
     passes, ``search/hirschberg.py`` + ``ops/mm_device.py``),
   * queries beyond the VMEM plane cap chain tiles (``ops/tiled_pair``),
