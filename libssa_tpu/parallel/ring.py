@@ -244,7 +244,7 @@ SENTINEL = -(2**30)
     ),
 )
 def ring_pair_score_banded(
-    pq_blocks: jax.Array,  # (Rblocks, K, 8, B) bf16 planes, replicated
+    pq_blocks: jax.Array,  # (Rblocks, K, CH, B) bf16 planes, replicated
     subject: jax.Array,  # (D*W,) int32, PAD-padded, sharded over 'd'
     *,
     gap_q: int,
@@ -269,7 +269,8 @@ def ring_pair_score_banded(
 
     Rblocks = pq_blocks.shape[0]
     K = pq_blocks.shape[1]  # select-tree plane count (alphabet_planes)
-    B = RB // 8
+    CH = pq_blocks.shape[2]  # band height (band_height)
+    B = RB // CH
     D = mesh.devices.size
     mr = m_real if m_real is not None else Rblocks * RB
     nr = n_real if n_real is not None else subject.shape[0]
@@ -281,9 +282,10 @@ def ring_pair_score_banded(
     def device_fn(pq, s_shard):
         d = jax.lax.axis_index("d")
         W = s_shard.shape[0]
-        T, _B = tile_shapes(RB, W, interpret)
+        T, _B = tile_shapes(RB, W, interpret, CH)
         tile = banded_tile(
-            RB, W, int(gap_q), int(gap_r), local, interpret, n_planes=K
+            RB, W, int(gap_q), int(gap_r), local, interpret,
+            n_planes=K, ch=CH,
         )
         PAD = K - 1
         s_t = jnp.concatenate(
@@ -304,8 +306,8 @@ def ring_pair_score_banded(
             [jnp.full((W,), NEG, jnp.float32), negT]
         )  # row 0 F boundary is -inf; deeper rows use the state below
 
-        inbox_H = jnp.zeros((8, B), jnp.float32)
-        inbox_E = jnp.full((8, B), NEG, jnp.float32)
+        inbox_H = jnp.zeros((CH, B), jnp.float32)
+        inbox_E = jnp.full((CH, B), NEG, jnp.float32)
         corner_state = jnp.float32(0.0)
         botH_prev = jnp.zeros((W,), jnp.float32)
         botF_prev = jnp.full((W,), NEG, jnp.float32)
@@ -319,29 +321,30 @@ def ring_pair_score_banded(
             active = (p - d >= 0) & (p - d <= Rblocks - 1)
             i0 = rb * RB + 1
             pq_r = jax.lax.dynamic_slice(
-                pq, (rb, 0, 0, 0), (1, K, 8, B)
+                pq, (rb, 0, 0, 0), (1, K, CH, B)
             )[0]
 
             # Left boundary: device 0 uses the global column formulas.
             rows = i0 + jnp.arange(RB, dtype=jnp.int32)
             if local:
-                lH0 = jnp.zeros((B, 8), jnp.float32)
+                lH0 = jnp.zeros((B, CH), jnp.float32)
                 lD0 = jnp.zeros((1, B), jnp.float32)
             else:
-                lH0 = nw_boundary(rows, Qf, Rf).reshape(B, 8)
+                lH0 = nw_boundary(rows, Qf, Rf).reshape(B, CH)
                 lD0 = nw_boundary(
-                    rows.reshape(B, 8)[:, 0] - 1, Qf, Rf
+                    rows.reshape(B, CH)[:, 0] - 1, Qf, Rf
                 ).reshape(1, B)
             is0 = d == 0
             lH = jnp.where(is0, lH0.T, inbox_H)
             lE = jnp.where(
-                is0, jnp.full((8, B), NEG, jnp.float32), inbox_E
+                is0, jnp.full((CH, B), NEG, jnp.float32), inbox_E
             )
             lD = jnp.where(
                 is0,
                 lD0,
                 jnp.concatenate(
-                    [jnp.zeros((1, 1), jnp.float32), inbox_H[7:8, :-1]],
+                    [jnp.zeros((1, 1), jnp.float32),
+                     inbox_H[CH - 1 : CH, :-1]],
                     axis=1,
                 ),
             )
@@ -385,12 +388,12 @@ def ring_pair_score_banded(
                     active, jnp.maximum(best, jnp.max(acc)), best
                 )
             else:
-                cap_val = jnp.take(cap[0], cap_row // 8)
+                cap_val = jnp.take(cap[0], cap_row // CH)
                 nw_score = jnp.where(active & in_tile, cap_val, nw_score)
             botH_prev = jnp.where(active, bHf, botH_prev)
             botF_prev = jnp.where(active, bFf, botF_prev)
             # Next phase's corner is this phase's inbox bottom-right.
-            corner_state = inbox_H[7, B - 1]
+            corner_state = inbox_H[CH - 1, B - 1]
             inbox_H = jax.lax.ppermute(rH, "d", perm)
             inbox_E = jax.lax.ppermute(rE, "d", perm)
 
@@ -459,18 +462,21 @@ def ring_score(
     from .sharded import put_global
 
     if kernel == "banded":
-        from ..ops.longpair_pallas import alphabet_planes
+        from ..ops.longpair_pallas import alphabet_planes, band_height
         from ..ops.mm_device import _pq_blocks
 
         K = alphabet_planes(np.asarray(q_codes), np.asarray(s_codes))
         if not interpret:
-            # Compiled tiles need RB/8 % 32 == 0; RB is a performance
+            # Compiled tiles need RB/CH % 32 == 0; RB is a performance
             # knob, not a semantic one, so round up silently. W buckets
             # to 256 so random subject lengths share compilations.
             RB = max(256, -(-RB // 256) * 256)
-        B = RB // 8
+        # Band height: same measured lookup as the single-chip kernels;
+        # small row blocks stay at 8 (mm_device._plan's gate).
+        CH = 8 if (interpret or RB < 8192) else band_height(K, RB)
+        B = RB // CH
         Rblocks = -(-m // RB)
-        pq = _pq_blocks(q_codes, matrix_padded, Rblocks, RB, B, K)
+        pq = _pq_blocks(q_codes, matrix_padded, Rblocks, RB, B, K, CH)
         W = -(-n // D)
         if not interpret:
             W = -(-W // 256) * 256

@@ -93,6 +93,48 @@ def test_banded_ring_matches_oracle(mesh, local, m, n):
     assert got == want
 
 
+@pytest.mark.parametrize("local", [True, False], ids=["sw", "nw"])
+def test_banded_ring_taller_bands(mesh, local):
+    """CH=16 band geometry through the ring (production pick for
+    RB >= 8192; the wrapper gates interpret runs to CH8, so drive
+    ring_pair_score_banded directly with CH16 planes)."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from libssa_tpu.ops.longpair_pallas import alphabet_planes
+    from libssa_tpu.ops.mm_device import _pq_blocks
+    from libssa_tpu.oracle import gap_qr
+    from libssa_tpu.parallel.ring import ring_pair_score_banded
+    from libssa_tpu.parallel.sharded import put_global
+
+    rng = np.random.default_rng(61 + local)
+    m, n, RB, CH = 100, 777, 64, 16
+    q = rng.integers(0, 20, m).astype(np.uint8)
+    s = rng.integers(0, 20, n).astype(np.uint8)
+    K = alphabet_planes(q, s)
+    Q, R = gap_qr(11, 1)
+    B = RB // CH
+    Rblocks = -(-m // RB)
+    pq = _pq_blocks(q, B62.padded(), Rblocks, RB, B, K, CH)
+    D = mesh.devices.size
+    W = -(-n // D)
+    s_pad = np.full((W * D,), K - 1, np.int64)
+    s_pad[:n] = s
+    subj = put_global(s_pad, mesh, P("d"), np.int32)
+    pq_j = put_global(pq, mesh, P(), np.float32)
+    got = int(
+        ring_pair_score_banded(
+            jnp.asarray(pq_j).astype(jnp.bfloat16), subj,
+            gap_q=int(Q), gap_r=int(R), mesh=mesh, RB=RB, local=local,
+            m_real=m, n_real=n, interpret=True,
+        )
+    )
+    want = (oracle.sw_score if local else oracle.nw_score)(
+        q, s, B62.scores, 11, 1
+    )
+    assert got == want
+
+
 def test_banded_ring_matches_scan_ring(mesh):
     """Both ring formulations agree pairwise (and with the oracle)."""
     rng = np.random.default_rng(123)
