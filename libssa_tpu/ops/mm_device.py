@@ -246,10 +246,11 @@ def mm_pass_rows(
 )
 def _rows_score_pair(pq2, s2, m2, tb2, *, RB, WC, Q, R, interpret,
                      K=PADDED_ALPHABET, CH=8):
-    """Both Myers-Miller divide passes (forward + reverse) in ONE
-    program: ``lax.map`` over the stacked problems — halves the
-    dispatch+fence count of every recursion level (the warm-time cost of
-    a huge-pair traceback is round trips, not device compute)."""
+    """A STACK of Myers-Miller divide passes in ONE program:
+    ``lax.map`` over the leading axis — one dispatch+fence serves a
+    whole recursion level (the warm-time cost of a huge-pair traceback
+    is round trips, not device compute). The leading dim is shape-
+    static; callers pad it to a power of two to bound retraces."""
     return jax.lax.map(
         lambda x: _rows_score(
             x[0], x[1], x[2], x[3],
@@ -257,6 +258,87 @@ def _rows_score_pair(pq2, s2, m2, tb2, *, RB, WC, Q, R, interpret,
         ),
         (pq2, s2, m2, tb2),
     )
+
+
+def mm_pass_rows_batch(
+    problems,
+    matrix_padded: np.ndarray,
+    gap_q: int,
+    gap_r: int,
+    RB: int = RB_DEF,
+    WC: int = WC_DEF,
+    interpret: bool = False,
+    min_group_cells: int = 0,
+):
+    """All row passes of one Myers-Miller recursion LEVEL, batched.
+
+    ``problems``: list of ``(q_codes, s_codes, tb_is_zero)``. Returns a
+    list of ``(CC, DD)`` int64 pairs in the same order. Problems are
+    grouped by tile plan (same-level subproblems share m to within one
+    row, so 1-3 groups is typical); each group is stacked — padded to a
+    power-of-two count with copies of its first member to bound
+    retraces — and runs as ONE jitted dispatch. Groups whose total
+    cells fall below ``min_group_cells`` are not worth a round trip:
+    their entries come back ``None`` and the caller uses its host pass.
+    """
+    import jax.numpy as jnp
+
+    from .longpair_pallas import alphabet_planes
+
+    Q, R = int(gap_q), int(gap_r)
+    arrs = []
+    for qq, ss, _ in problems:
+        arrs.append(np.asarray(qq))
+        arrs.append(np.asarray(ss))
+    K = alphabet_planes(*arrs)
+    groups = {}
+    for idx, (qq, ss, _) in enumerate(problems):
+        plan = _plan(len(qq), len(ss), RB, WC, interpret, K)
+        groups.setdefault(plan, []).append(idx)
+    out = [None] * len(problems)
+    for plan, idxs in groups.items():
+        if sum(len(problems[i][0]) * len(problems[i][1]) for i in idxs) < (
+            min_group_cells
+        ):
+            continue
+        RBg, WCg, T, B, Rb, Cc, CH = plan
+        N = 1 << (len(idxs) - 1).bit_length() if len(idxs) > 1 else 1
+        sel = idxs + [idxs[0]] * (N - len(idxs))
+        pq = np.stack(
+            [
+                _pq_blocks(problems[i][0], matrix_padded, Rb, RBg, B, K, CH)
+                for i in sel
+            ]
+        )
+        s2 = np.stack(
+            [_s_chunks(problems[i][1], Cc, WCg, T, K) for i in sel]
+        )
+        ms = np.asarray([len(problems[i][0]) for i in sel], np.int32)
+        tbs = np.asarray(
+            [0.0 if problems[i][2] else float(Q - R) for i in sel],
+            np.float32,
+        )
+        bH, bF = _rows_score_pair(
+            jnp.asarray(pq).astype(jnp.bfloat16),
+            jnp.asarray(s2),
+            jnp.asarray(ms),
+            jnp.asarray(tbs),
+            RB=RBg, WC=WCg, Q=Q, R=R, interpret=bool(interpret), K=K,
+            CH=CH,
+        )
+        bH, bF = np.asarray(bH), np.asarray(bF)
+        for k, i in enumerate(idxs):
+            qq, ss, tb0 = problems[i]
+            mm_, nn = len(qq), len(ss)
+            tb = 0 if tb0 else Q - R
+            CC = np.empty(nn + 1, np.int64)
+            DD = np.empty(nn + 1, np.int64)
+            CC[0] = tb + R * mm_
+            DD[0] = tb + R * mm_
+            CC[1:] = -bH[k][:nn].astype(np.int64)
+            DD[1:] = -bF[k][:nn].astype(np.int64)
+            out[i] = (CC, DD)
+    return out
 
 
 def mm_pass_rows_pair(

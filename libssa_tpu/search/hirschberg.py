@@ -36,6 +36,20 @@ INF = int(2**60)
 DEVICE_MIN_CELLS = 16 * 1024 * 1024
 DEVICE_INTERPRET = False
 
+# A pass that can JOIN a dispatch another pass already pays for only
+# needs to beat its own upload + host-prep cost, not a full round trip.
+DEVICE_JOIN_MIN_CELLS = 1 << 19
+
+# Subproblems at or below this many cells stop recursing and solve
+# directly with an O(m*n) direction-matrix fill (_ops_small). The deep
+# subtree below this size is tens of thousands of tiny row passes whose
+# per-call overhead dominates a huge-pair traceback: the r3 attribution
+# (experiments/r3_mm_profile.py) measured 53,210 _mm_pass calls = 19 s
+# for only 0.22 Gcells on a 30k x 30k NW pair. Direction matrices at
+# this bound cost ~3 MB — trivial next to the O(m+n) guarantee's
+# purpose (the FULL matrix for 30k x 30k would be ~2.7 GB).
+LEAF_CELLS = 1 << 20
+
 
 def _pad32(sub):
     out = np.full((32, 32), -64, np.int64)
@@ -44,8 +58,10 @@ def _pad32(sub):
     return out
 
 
-def _device_ok(m, n, sub, Q, R):
-    if m * n < DEVICE_MIN_CELLS or m < 2 or n < 2:
+def _device_ok(m, n, sub, Q, R, min_cells=None):
+    if min_cells is None:
+        min_cells = DEVICE_MIN_CELLS
+    if m * n < min_cells or m < 2 or n < 2:
         return False
     from ..ops.longpair import real_max_abs, score_bound
 
@@ -101,46 +117,43 @@ def _rev(x):
     return np.ascontiguousarray(x[::-1])
 
 
-def _mm_pass_any(q, s, cost, g, h, tb):
-    """_mm_pass, device-accelerated for large subproblems (see module
-    constants). tb is g (fresh vertical open) or 0 (gap crosses the
-    boundary) — the only values the recursion produces."""
-    m, n = len(q), len(s)
-    if tb in (0, g) and m and n:
-        sub = -cost
-        Q, R = g + h, h
-        if _device_ok(m, n, sub, Q, R):
-            from ..ops.mm_device import mm_pass_rows
+def _run_passes(passes, cost, g, h):
+    """Resolve one recursion level's ``(q, s, tb)`` row passes.
 
-            return mm_pass_rows(
-                q, s, _pad32(sub), Q, R, tb == 0,
-                interpret=DEVICE_INTERPRET,
-            )
-    return _mm_pass(q, s, cost, g, h, tb)
+    Device-eligible passes go to ``mm_device.mm_pass_rows_batch`` — ONE
+    dispatch per shared tile plan for the whole level (1-3 plans is
+    typical: same-level subproblems share m to within one row). Groups
+    whose total cells don't justify a round trip come back ``None`` and
+    fall through to the host NumPy pass, as does anything below the
+    per-pass floor (``min(DEVICE_MIN_CELLS, DEVICE_JOIN_MIN_CELLS)`` —
+    joining an existing dispatch is nearly free, so the floor is far
+    below the go-it-alone threshold).
+    """
+    sub = -cost
+    Q, R = g + h, h
+    results = [None] * len(passes)
+    floor = min(DEVICE_MIN_CELLS, DEVICE_JOIN_MIN_CELLS)
+    dev_idx = [
+        i
+        for i, (qq, ss, tbv) in enumerate(passes)
+        if tbv in (0, g)
+        and _device_ok(len(qq), len(ss), sub, Q, R, min_cells=floor)
+    ]
+    if dev_idx:
+        from ..ops.mm_device import mm_pass_rows_batch
 
-
-def _mm_pass_pair_any(qf, qr, s_fwd, s_rev, cost, g, h, tb, te):
-    """Both divide passes of one recursion level, one dispatch when both
-    qualify for the device path and share a tile plan (they share ``n``
-    and differ in ``m`` by <=1, so they almost always do) — the warm
-    cost of a huge-pair traceback is round trips, not device compute."""
-    mf, nf, mr, nr = len(qf), len(s_fwd), len(qr), len(s_rev)
-    if tb in (0, g) and te in (0, g) and mf and nf and mr and nr:
-        sub = -cost
-        Q, R = g + h, h
-        if _device_ok(mf, nf, sub, Q, R) and _device_ok(mr, nr, sub, Q, R):
-            from ..ops.mm_device import mm_pass_rows_pair
-
-            out = mm_pass_rows_pair(
-                qf, s_fwd, tb == 0, qr, s_rev, te == 0,
-                _pad32(sub), Q, R, interpret=DEVICE_INTERPRET,
-            )
-            if out is not None:
-                return out
-    return (
-        _mm_pass_any(qf, s_fwd, cost, g, h, tb),
-        _mm_pass_any(qr, s_rev, cost, g, h, te),
-    )
+        outs = mm_pass_rows_batch(
+            [(passes[i][0], passes[i][1], passes[i][2] == 0) for i in dev_idx],
+            _pad32(sub), Q, R,
+            interpret=DEVICE_INTERPRET,
+            min_group_cells=DEVICE_MIN_CELLS,
+        )
+        for i, o in zip(dev_idx, outs):
+            results[i] = o
+    for i, (qq, ss, tbv) in enumerate(passes):
+        if results[i] is None:
+            results[i] = _mm_pass(qq, ss, cost, g, h, tbv)
+    return results
 
 
 def _sw_end_any(q, s, sub, Q, R):
@@ -153,49 +166,213 @@ def _sw_end_any(q, s, sub, Q, R):
     return _score_end_sw(q, s, sub, Q, R)
 
 
-def _nw_ops(q, s, cost, g, h, tb, te):
-    """Myers-Miller recursion -> ops list 'M'/'D'/'I' (D: query residue
-    to gap, I: subject residue to gap)."""
+def _ops_small(q, s, cost, g, h, tb, te):
+    """Direct direction-matrix solve of one recursion leaf.
+
+    Optimal ops under the Myers-Miller boundary contract: a vertical
+    run hugging the top-left corner (down column 0) opens at ``tb``; one
+    hugging the bottom-right corner (up column n) opens at ``te`` — each
+    g for a fresh gap, 0 when the parent's gap crosses that boundary.
+    Honoring ``te`` in the CHOICE of path (not just its cost) matters:
+    after a t2 split the parent already committed to a vertical gap
+    across the boundary, and an equal-cost path that does not end in
+    the delete state would re-open that gap globally.
+
+    Ties between equal-cost states are safe in any order: each
+    candidate's quoted cost is an achievable global contribution for
+    that candidate's path, so any argmin path is globally optimal (the
+    final score is evaluated from the ops string's gap RUNS, never from
+    these internal state choices).
+    """
     m, n = len(q), len(s)
-    if n == 0:
-        return ["D"] * m
-    if m == 0:
-        return ["I"] * n
-    if m == 1:
-        # q[0] aligned to some s[j] with flanking horizontal gaps, or q[0]
-        # deleted inside one vertical gap (cheapest boundary open).
-        best = min(tb, te) + h + g + h * n  # delete + full insert run
-        best_j = -1
-        for j in range(n):
-            gaps = 0
-            if j > 0:
-                gaps += g + h * j
-            if j < n - 1:
-                gaps += g + h * (n - 1 - j)
-            c = int(cost[q[0], s[j]]) + gaps
-            if c < best:
-                best, best_j = c, j
-        if best_j < 0:
-            return ["D"] + ["I"] * n
-        return ["I"] * best_j + ["M"] + ["I"] * (n - best_j - 1)
-    mid = m // 2
-    (CCf, DDf), (CCr, DDr) = _mm_pass_pair_any(
-        q[:mid], _rev(q[mid:]), s, _rev(s), cost, g, h, tb, te
-    )
-    CCr, DDr = _rev(CCr), _rev(DDr)
-    t1 = CCf + CCr  # crossing at (mid, j) in match/insert state
-    t2 = DDf + DDr - g  # crossing inside one vertical gap (one open only)
-    j1 = int(np.argmin(t1))
-    j2 = int(np.argmin(t2))
-    if t1[j1] <= t2[j2]:
-        return _nw_ops(q[:mid], s[:j1], cost, g, h, tb, g) + _nw_ops(
-            q[mid:], s[j1:], cost, g, h, g, te
-        )
-    return (
-        _nw_ops(q[: mid - 1], s[:j2], cost, g, h, tb, 0)
-        + ["D", "D"]
-        + _nw_ops(q[mid + 1 :], s[j2:], cost, g, h, 0, te)
-    )
+    js = np.arange(1, n + 1, dtype=np.int64)
+    C_prev = np.empty(n + 1, np.int64)
+    C_prev[0] = 0
+    C_prev[1:] = g + h * js
+    D_prev = C_prev + g
+    D_prev[0] = tb
+    Cdir = np.empty((m, n), np.uint8)  # 0 diag, 1 from D, 2 from E
+    Dopen = np.empty((m, n), bool)
+    Eopen = np.empty((m, n), bool)
+    CcolN = np.empty(m + 1, np.int64)
+    CcolN[0] = C_prev[n]
+    for i in range(1, m + 1):
+        D = np.minimum(D_prev, C_prev + g) + h
+        Dopen[i - 1] = D[1:] == C_prev[1:] + g + h
+        w = cost[q[i - 1], s]
+        cand = C_prev[:-1] + w
+        cnof = np.minimum(D[1:], cand)
+        c0 = tb + h * i
+        # Lazy-E prefix min (the _mm_pass identity; exact for g >= 0).
+        W = cnof - js * h
+        Cm = np.minimum.accumulate(W)
+        prev = np.concatenate(([INF], Cm[:-1]))
+        prev = np.minimum(prev, c0)
+        E = prev + g + js * h
+        C = np.empty(n + 1, np.int64)
+        C[0] = c0
+        C[1:] = np.minimum(cnof, E)
+        Cdir[i - 1] = np.where(
+            C[1:] == cand, 0, np.where(C[1:] == D[1:], 1, 2)
+        ).astype(np.uint8)
+        Eopen[i - 1] = E == C[:-1] + g + h
+        CcolN[i] = C[n]
+        C_prev, D_prev = C, D
+
+    # te contract: a trailing delete run of length k ending at (m, n)
+    # costs te + k*h (predecessor closes in C state at (m-k, n)).
+    ops = []
+    i, j = m, n
+    if m:
+        ks = np.arange(1, m + 1, dtype=np.int64)
+        tails = CcolN[m - ks] + te + ks * h
+        kbest = int(np.argmin(tails)) + 1
+        if tails[kbest - 1] < C_prev[n]:
+            ops.extend("D" * kbest)
+            i -= kbest
+    state = "C"
+    while i > 0 and j > 0:
+        if state == "C":
+            d = Cdir[i - 1, j - 1]
+            if d == 0:
+                ops.append("M")
+                i -= 1
+                j -= 1
+            elif d == 1:
+                state = "D"
+            else:
+                state = "E"
+        elif state == "D":
+            ops.append("D")
+            opened = Dopen[i - 1, j - 1]
+            i -= 1
+            if opened:
+                state = "C"
+        else:
+            ops.append("I")
+            opened = Eopen[i - 1, j - 1]
+            j -= 1
+            if opened:
+                state = "C"
+    ops.extend("D" * i)
+    ops.extend("I" * j)
+    ops.reverse()
+    return ops
+
+
+def _ops_m1(q, s, cost, g, h, tb, te):
+    """Single-row base case: q[0] aligned to some s[j] with flanking
+    horizontal gaps, or q[0] deleted inside one vertical gap (cheapest
+    boundary open)."""
+    n = len(s)
+    best = min(tb, te) + h + g + h * n  # delete + full insert run
+    best_j = -1
+    for j in range(n):
+        gaps = 0
+        if j > 0:
+            gaps += g + h * j
+        if j < n - 1:
+            gaps += g + h * (n - 1 - j)
+        c = int(cost[q[0], s[j]]) + gaps
+        if c < best:
+            best, best_j = c, j
+    if best_j < 0:
+        return ["D"] + ["I"] * n
+    return ["I"] * best_j + ["M"] + ["I"] * (n - best_j - 1)
+
+
+class _Node:
+    """A pending Myers-Miller subproblem: q[qs:qe] vs s[ss:se] with
+    boundary opens (tb, te)."""
+
+    __slots__ = ("qs", "qe", "ss", "se", "tb", "te")
+
+    def __init__(self, qs, qe, ss, se, tb, te):
+        self.qs, self.qe, self.ss, self.se = qs, qe, ss, se
+        self.tb, self.te = tb, te
+
+
+def _nw_ops(q, s, cost, g, h, tb, te):
+    """Myers-Miller -> ops list 'M'/'D'/'I' (D: query residue to gap,
+    I: subject residue to gap).
+
+    Breadth-first frontier instead of depth-first recursion: all divide
+    passes of one level batch into as few device dispatches as tile
+    plans allow (``_run_passes``), and subproblems at or below
+    LEAF_CELLS solve directly with the direction-matrix fill — the two
+    moves that turn a 30k x 30k NW traceback from ~53k tiny host calls
+    + one dispatch per subproblem into ~5 levels of batched dispatches
+    plus a few dozen vectorized leaf fills.
+    """
+    items = [_Node(0, len(q), 0, len(s), tb, te)]
+    while True:
+        pending = [
+            (i, it) for i, it in enumerate(items) if isinstance(it, _Node)
+        ]
+        if not pending:
+            break
+        requests = []
+        for i, nd in pending:
+            m, n = nd.qe - nd.qs, nd.se - nd.ss
+            qq = q[nd.qs : nd.qe]
+            ss_ = s[nd.ss : nd.se]
+            if n == 0:
+                items[i] = ["D"] * m
+            elif m == 0:
+                items[i] = ["I"] * n
+            elif m > 1 and m * n <= LEAF_CELLS:
+                items[i] = _ops_small(qq, ss_, cost, g, h, nd.tb, nd.te)
+            elif m == 1:
+                items[i] = _ops_m1(qq, ss_, cost, g, h, nd.tb, nd.te)
+            else:
+                requests.append((i, nd))
+        if requests:
+            passes = []
+            for i, nd in requests:
+                mid = (nd.qe - nd.qs) // 2
+                passes.append(
+                    (q[nd.qs : nd.qs + mid], s[nd.ss : nd.se], nd.tb)
+                )
+                passes.append(
+                    (_rev(q[nd.qs + mid : nd.qe]), _rev(s[nd.ss : nd.se]),
+                     nd.te)
+                )
+            results = _run_passes(passes, cost, g, h)
+            for k, (i, nd) in enumerate(requests):
+                CCf, DDf = results[2 * k]
+                CCr, DDr = results[2 * k + 1]
+                CCr, DDr = _rev(CCr), _rev(DDr)
+                t1 = CCf + CCr  # crossing at (mid, j) in match/insert
+                t2 = DDf + DDr - g  # crossing inside one vertical gap
+                j1 = int(np.argmin(t1))
+                j2 = int(np.argmin(t2))
+                mid = (nd.qe - nd.qs) // 2
+                if t1[j1] <= t2[j2]:
+                    items[i] = [
+                        _Node(nd.qs, nd.qs + mid, nd.ss, nd.ss + j1,
+                              nd.tb, g),
+                        _Node(nd.qs + mid, nd.qe, nd.ss + j1, nd.se,
+                              g, nd.te),
+                    ]
+                else:
+                    items[i] = [
+                        _Node(nd.qs, nd.qs + mid - 1, nd.ss, nd.ss + j2,
+                              nd.tb, 0),
+                        ["D", "D"],
+                        _Node(nd.qs + mid + 1, nd.qe, nd.ss + j2, nd.se,
+                              0, nd.te),
+                    ]
+        flat = []
+        for it in items:
+            if isinstance(it, list) and it and not isinstance(it[0], str):
+                flat.extend(it)  # a replaced node: [child, ops?, child]
+            else:
+                flat.append(it)
+        items = flat
+    out = []
+    for it in items:
+        out.extend(it)
+    return out
 
 
 def _score_end_sw(q, s, sub, Q, R):

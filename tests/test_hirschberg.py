@@ -52,6 +52,47 @@ def test_fuzz_vs_oracle(local):
             assert want == 0
 
 
+@pytest.mark.parametrize("local", [True, False], ids=["sw", "nw"])
+def test_fuzz_leaf_vs_recursion(local, monkeypatch):
+    """The direct leaf solve (_ops_small) vs the full recursion.
+
+    Tiny LEAF_CELLS forces deep splits so leaves see every (tb, te)
+    boundary-contract combination; gap-heavy shapes (m >> n and n >> m)
+    drive the t2 (gap-crossing) branch. Scores must equal the oracle and
+    every returned path must evaluate to that score.
+    """
+    from libssa_tpu.search import hirschberg as hb
+
+    rng = np.random.default_rng(11 if local else 12)
+    for trial in range(30):
+        m = int(rng.integers(2, 90))
+        n = int(rng.integers(2, 90))
+        if trial % 3 == 1:
+            m, n = m * 3, max(2, n // 4)  # deletion-heavy
+        elif trial % 3 == 2:
+            m, n = max(2, m // 4), n * 3  # insertion-heavy
+        go = int(rng.integers(1, 14))
+        ge = int(rng.integers(1, min(go + 1, 5)))
+        q = rng.integers(0, 20, m).astype(np.uint8)
+        s = rng.integers(0, 20, n).astype(np.uint8)
+        Q, R = oracle.gap_qr(go, ge)
+        monkeypatch.setattr(hb, "LEAF_CELLS", 0)
+        rec = align_pair_linear(q, s, B62.scores, go, ge, local)
+        monkeypatch.setattr(hb, "LEAF_CELLS", 64)
+        leafy = align_pair_linear(q, s, B62.scores, go, ge, local)
+        monkeypatch.setattr(hb, "LEAF_CELLS", 1 << 20)
+        direct = align_pair_linear(q, s, B62.scores, go, ge, local)
+        want = (oracle.sw_score if local else oracle.nw_score)(
+            q, s, B62.scores, go, ge
+        )
+        for tb in (rec, leafy, direct):
+            assert tb.score == want
+            if tb.cigar:
+                assert _path_score(q, s, tb, B62.scores, Q, R) == want
+            elif local:
+                assert want == 0
+
+
 def test_long_pair_routes_linear():
     """align_pair auto-routes big pairs; result matches a spot oracle."""
     rng = np.random.default_rng(1)

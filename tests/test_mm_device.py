@@ -72,6 +72,49 @@ def test_mm_pass_rows_pair_plan_mismatch_falls_back():
     assert out is None
 
 
+def test_mm_pass_rows_batch_matches_singles(monkeypatch):
+    """A whole recursion level in batched dispatches: bit-exact vs the
+    single-problem path, one jitted call per tile plan, and a
+    below-threshold group falls back to None."""
+    from libssa_tpu.ops import mm_device
+
+    rng = np.random.default_rng(21)
+    s = rng.integers(0, 20, 260).astype(np.intp)
+    sr = s[::-1].copy()
+    probs = [
+        (rng.integers(0, 20, 240).astype(np.intp), s, False),
+        (rng.integers(0, 20, 241).astype(np.intp), sr, True),
+        (rng.integers(0, 20, 240).astype(np.intp), s, True),
+        # A different plan (RB snaps higher in interpret mode):
+        (rng.integers(0, 20, 300).astype(np.intp), s, False),
+    ]
+    calls = []
+    real = mm_device._rows_score_pair
+
+    def counted(*a, **k):
+        calls.append(a[0].shape[0])
+        return real(*a, **k)
+
+    monkeypatch.setattr(mm_device, "_rows_score_pair", counted)
+    out = mm_device.mm_pass_rows_batch(
+        probs, B62.padded(), Q, R, RB=256, WC=256, interpret=True
+    )
+    # Two plans -> two dispatches; the 3-problem group pads to 4.
+    assert sorted(calls) == [1, 4]
+    for (CC, DD), (qq, ss, tb0) in zip(out, probs):
+        wCC, wDD = mm_pass_rows(
+            qq, ss, B62.padded(), Q, R, tb0, RB=256, WC=256, interpret=True
+        )
+        np.testing.assert_array_equal(CC, wCC)
+        np.testing.assert_array_equal(DD, wDD)
+    # min_group_cells above every group total -> all None (host fallback).
+    out2 = mm_device.mm_pass_rows_batch(
+        probs, B62.padded(), Q, R, RB=256, WC=256, interpret=True,
+        min_group_cells=1 << 40,
+    )
+    assert out2 == [None] * len(probs)
+
+
 @pytest.mark.parametrize("m,n", [(50, 80), (300, 300), (430, 190)])
 def test_sw_end_cell_matches_host(m, n):
     rng = np.random.default_rng(m * 7 + n)
@@ -98,6 +141,9 @@ def test_align_pair_linear_device_path(monkeypatch, local):
     """Full Myers-Miller with the device passes forced on, vs host-only."""
     monkeypatch.setattr(hb, "DEVICE_MIN_CELLS", 1024)
     monkeypatch.setattr(hb, "DEVICE_INTERPRET", True)
+    # Keep the recursion alive below the device threshold — the default
+    # LEAF_CELLS would solve this whole pair directly on the host.
+    monkeypatch.setattr(hb, "LEAF_CELLS", 256)
     rng = np.random.default_rng(5 if local else 6)
     q = rng.integers(0, 20, 230).astype(np.uint8)
     s = rng.integers(0, 20, 310).astype(np.uint8)
