@@ -51,6 +51,11 @@ def main():
     wrap(mm_device, "mm_pass_rows", lambda a, o: len(a[0]) * len(a[1]))
     wrap(
         mm_device,
+        "mm_pass_rows_batch",
+        lambda a, o: sum(len(q) * len(s) for q, s, _ in a[0]),
+    )
+    wrap(
+        mm_device,
         "mm_pass_rows_pair",
         lambda a, o: (len(a[0]) * len(a[1]) + len(a[3]) * len(a[4]))
         if o is not None

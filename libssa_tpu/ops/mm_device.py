@@ -281,8 +281,6 @@ def mm_pass_rows_batch(
     cells fall below ``min_group_cells`` are not worth a round trip:
     their entries come back ``None`` and the caller uses its host pass.
     """
-    import jax.numpy as jnp
-
     from .longpair_pallas import alphabet_planes
 
     Q, R = int(gap_q), int(gap_r)
@@ -360,49 +358,23 @@ def mm_pass_rows_pair(
     The two passes of a Myers-Miller divide share ``n`` (full subject,
     forward and reversed) and differ in ``m`` by at most one row, so
     they almost always share a tile plan; returns None when the plans
-    differ (caller falls back to two ``mm_pass_rows`` calls).
+    differ (caller falls back to two ``mm_pass_rows`` calls). Thin
+    wrapper over ``mm_pass_rows_batch``.
     """
     from .longpair_pallas import alphabet_planes
 
-    mf, nf = len(qf_codes), len(sf_codes)
-    mr, nr = len(qr_codes), len(sr_codes)
-    Q, R = int(gap_q), int(gap_r)
     K = alphabet_planes(
         np.asarray(qf_codes), np.asarray(sf_codes),
         np.asarray(qr_codes), np.asarray(sr_codes),
     )
-    plan_f = _plan(mf, nf, RB, WC, interpret, K)
-    if plan_f != _plan(mr, nr, RB, WC, interpret, K):
+    if _plan(len(qf_codes), len(sf_codes), RB, WC, interpret, K) != _plan(
+        len(qr_codes), len(sr_codes), RB, WC, interpret, K
+    ):
         return None
-    RB, WC, T, B, Rb, Cc, CH = plan_f
-    tbs = (0 if tbf_is_zero else Q - R, 0 if tbr_is_zero else Q - R)
-    pq2 = np.stack(
-        [
-            _pq_blocks(qf_codes, matrix_padded, Rb, RB, B, K, CH),
-            _pq_blocks(qr_codes, matrix_padded, Rb, RB, B, K, CH),
-        ]
+    return mm_pass_rows_batch(
+        [(qf_codes, sf_codes, tbf_is_zero), (qr_codes, sr_codes, tbr_is_zero)],
+        matrix_padded, gap_q, gap_r, RB=RB, WC=WC, interpret=interpret,
     )
-    s2 = np.stack(
-        [_s_chunks(sf_codes, Cc, WC, T, K), _s_chunks(sr_codes, Cc, WC, T, K)]
-    )
-    bH2, bF2 = _rows_score_pair(
-        jnp.asarray(pq2).astype(jnp.bfloat16),
-        jnp.asarray(s2),
-        jnp.asarray([mf, mr], jnp.int32),
-        jnp.asarray([float(t) for t in tbs], jnp.float32),
-        RB=RB, WC=WC, Q=Q, R=R, interpret=bool(interpret), K=K, CH=CH,
-    )
-    bH2, bF2 = np.asarray(bH2), np.asarray(bF2)
-    out = []
-    for k, (mm, nn) in enumerate(((mf, nf), (mr, nr))):
-        CC = np.empty(nn + 1, np.int64)
-        DD = np.empty(nn + 1, np.int64)
-        CC[0] = tbs[k] + R * mm
-        DD[0] = tbs[k] + R * mm
-        CC[1:] = -bH2[k][:nn].astype(np.int64)
-        DD[1:] = -bF2[k][:nn].astype(np.int64)
-        out.append((CC, DD))
-    return out
 
 
 @functools.partial(
