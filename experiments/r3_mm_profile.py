@@ -23,7 +23,11 @@ def main():
     ap.add_argument("--mode", default="nw", choices=["nw", "sw"])
     ap.add_argument("--alpha", type=int, default=20)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--leaf", type=int, default=0,
+                    help="override hirschberg.LEAF_CELLS")
     args = ap.parse_args()
+    if args.leaf:
+        hirschberg.LEAF_CELLS = args.leaf
 
     rng = np.random.default_rng(0)
     q = rng.integers(0, args.alpha, args.m).astype(np.uint8)
