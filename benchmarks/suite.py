@@ -6,7 +6,7 @@ end-to-end pipeline the way the reference's thesis benchmarks do —
 sequences/sec and aggregate GCUPS through the full search stack
 (packing, streaming, ladder, top-k).
 
-  1  Single query vs single subject, NW, score-only      (wavefront kernel)
+  1  Single query vs single subject, NW, score-only      (kernel-rate paths)
   2  SW affine vs the small bundled protein DB, top-10   (BIT16)
   3  Adaptive 8->16/64 ladder on a 10k-sequence DB       (BIT8)
   4  Batched multi-query search                          (EXACT)
@@ -70,20 +70,19 @@ def synth_query(m: int, seed: int):
 def config1():
     """1 query vs 1 subject, NW global, score-only.
 
-    Round 2: batched pairs route through the inter-sequence kernel
-    (ops/wavefront.pair_scores_batch) — the anti-diagonal skew that held
+    Batched pairs route through the inter-sequence kernel
+    (ops/interseq.pair_scores_batch) — the anti-diagonal skew that held
     round 1 to ~1 GCUPS disappears when pairs sit across lanes. The
-    single-pair-latency number (one dispatch through the tunnel) is
+    single-pair-latency number (one dispatch through the tunnel, via the
+    skewed-band longpair kernel — the production align_pair route) is
     emitted alongside for honesty.
     """
     import jax.numpy as jnp
 
     from libssa_tpu import matrices, oracle
+    from libssa_tpu.ops.interseq import pair_scores_batch
+    from libssa_tpu.ops.longpair import longpair_score
     from libssa_tpu.ops.scoring import make_profile
-    from libssa_tpu.ops.wavefront import (
-        pair_scores_batch,
-        wavefront_pair_score,
-    )
 
     mat = matrices.builtin("BLOSUM62")
     m = n = 512
@@ -122,18 +121,19 @@ def config1():
         gcups=round(P * m * n / dt / 1e9, 3), exact=True, m=m, n=n,
     )
 
-    # Single-pair latency (tunnel-dominated: ~2 round trips minimum).
-    sj = jnp.asarray(subs[0], jnp.int32)
-    np.asarray(wavefront_pair_score(prof, sj, jnp.int32(gq), jnp.int32(gr), local=False))
+    # Single-pair latency through the kernel-rate skewed-band path
+    # (ops/longpair — the production align_pair(mode=SCORE) route;
+    # tunnel-dominated: one dispatch+fence minimum).
+    want0 = oracle.nw_score(q, subs[0], mat.scores, 11, 1)
+    got0 = longpair_score(q, subs[0], mat.padded(), 11, 1, local=False)
+    assert got0 == want0, f"longpair NW {got0} != oracle {want0}"
     t0 = time.perf_counter()
     for _ in range(3):
-        np.asarray(
-            wavefront_pair_score(prof, sj, jnp.int32(gq), jnp.int32(gr), local=False)
-        )
+        longpair_score(q, subs[0], mat.padded(), 11, 1, local=False)
     lat = (time.perf_counter() - t0) / 3
     emit(
         1, "1v1 NW single-pair latency", lat * 1e3, "ms",
-        note="one dispatch+fence through the serving tunnel",
+        note="skewed-band kernel; one dispatch+fence through the tunnel",
     )
 
 

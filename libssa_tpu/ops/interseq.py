@@ -266,3 +266,53 @@ def batch_scores_oracle_layout(
         m_real=m_real,
     )
     return np.asarray(scores), np.asarray(hi), np.asarray(lo)
+
+
+def pair_scores_batch(
+    profile,  # (m, PADDED_ALPHABET) int32, SHARED query profile
+    subjects,  # (P, n) int32/int8 codes, PAD-padded
+    lengths,  # (P,) int32 true subject lengths
+    gap_q,
+    gap_r,
+    local: bool = True,
+    m_real: int | None = None,
+    kernel: str = "auto",
+):
+    """Batched 1-vs-1 scoring, routed through the INTER-SEQUENCE kernel.
+
+    The round-1 vmapped wavefront ran BASELINE config 1 at ~1 GCUPS: each
+    anti-diagonal step needs S[i,p] = sub(q[i], s_p[d-i]) — a symbol that
+    varies per (row, lane), which defeats the MXU one-hot profile gather
+    and degenerates into a 32-way masked reduce per step. But a batch of
+    pairs sharing one query IS the inter-sequence shape (pairs across
+    lanes, columns sequential): no diagonal skew, one (m,32)x(32,B) MXU
+    gather per column, the measured 200+ GCUPS path (SURVEY.md §7: the
+    inter-sequence formulation "sidesteps" the wavefront dependency and
+    is the right primary design on TPU).
+
+    For what the anti-diagonal formulation was uniquely good at — O(m)
+    state for one enormous pair — use ``ops.longpair.longpair_score``
+    (the skewed-band kernel, ~80-124 GCUPS single-pair).
+    """
+    m = profile.shape[0]
+    mr = m_real if m_real is not None else m
+    subjects_T = jnp.asarray(subjects).T  # (n, P)
+    use_pallas = kernel == "pallas"
+    if kernel == "auto":
+        from ..search.kernels import pallas_available
+
+        use_pallas = pallas_available()
+    if use_pallas:
+        from .interseq_pallas import interseq_scores_pallas
+
+        scores, _, _ = interseq_scores_pallas(
+            profile, subjects_T, lengths, int(gap_q), int(gap_r),
+            local=local, track_range=False, m_real=mr,
+        )
+        return scores
+    scores, _, _ = interseq_scores(
+        profile, subjects_T, lengths,
+        jnp.int32(gap_q), jnp.int32(gap_r),
+        local=local, use_matmul=True, track_range=False, m_real=mr,
+    )
+    return scores

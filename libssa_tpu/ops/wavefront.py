@@ -1,5 +1,13 @@
 """Anti-diagonal (wavefront) single-pair SW/NW scoring.
 
+**Reference/tests-only since round 4**: no production path routes here.
+``api.align_pair`` and the benchmark suite use the skewed-band Pallas
+kernel (``ops/longpair``, ~80-124 GCUPS) for single pairs and the
+inter-sequence kernel (``ops/interseq.pair_scores_batch``) for batched
+pairs; this module is kept as an independent third formulation the test
+suite cross-checks those against (tests/test_wavefront.py) and as the
+readable exposition of the anti-diagonal dependency structure.
+
 TPU-native replacement for the reference's *intra-sequence* striped
 (Farrar) vectorization (SURVEY.md §2 P2): where the CPU stripes one DP
 column across SSE lanes with a lazy-F fixup loop, the idiomatic TPU
@@ -170,57 +178,13 @@ def wavefront_pair_scores_batch(
     )(profile, subjects, gap_q, gap_r, lengths.astype(jnp.int32))
 
 
-def pair_scores_batch(
-    profile,  # (m, PADDED_ALPHABET) int32, SHARED query profile
-    subjects,  # (P, n) int32/int8 codes, PAD-padded
-    lengths,  # (P,) int32 true subject lengths
-    gap_q,
-    gap_r,
-    local: bool = True,
-    m_real: int | None = None,
-    kernel: str = "auto",
-):
-    """Batched 1-vs-1 scoring, routed through the INTER-SEQUENCE kernel.
+def pair_scores_batch(*args, **kwargs):
+    """Moved to ``ops.interseq.pair_scores_batch`` (it routes through
+    the inter-sequence kernels, not the wavefront; this module is a
+    reference/tests-only formulation since round 4)."""
+    from .interseq import pair_scores_batch as _psb
 
-    The round-1 vmapped wavefront ran BASELINE config 1 at ~1 GCUPS: each
-    anti-diagonal step needs S[i,p] = sub(q[i], s_p[d-i]) — a symbol that
-    varies per (row, lane), which defeats the MXU one-hot profile gather
-    and degenerates into a 32-way masked reduce per step. But a batch of
-    pairs sharing one query IS the inter-sequence shape (pairs across
-    lanes, columns sequential): no diagonal skew, one (m,32)x(32,B) MXU
-    gather per column, the measured 200+ GCUPS path (VERDICT r1 weak #1 /
-    next-round #3; SURVEY.md §7: the inter-sequence formulation "sidesteps"
-    the wavefront dependency and is the right primary design on TPU).
-
-    The anti-diagonal formulation above remains the fallback for what it
-    is uniquely good at: O(m) state for a single enormous pair.
-    """
-    import jax.numpy as jnp
-
-    m = profile.shape[0]
-    mr = m_real if m_real is not None else m
-    subjects_T = jnp.asarray(subjects).T  # (n, P)
-    use_pallas = kernel == "pallas"
-    if kernel == "auto":
-        from ..search.kernels import pallas_available
-
-        use_pallas = pallas_available()
-    if use_pallas:
-        from .interseq_pallas import interseq_scores_pallas
-
-        scores, _, _ = interseq_scores_pallas(
-            profile, subjects_T, lengths, int(gap_q), int(gap_r),
-            local=local, track_range=False, m_real=mr,
-        )
-        return scores
-    from . import interseq
-
-    scores, _, _ = interseq.interseq_scores(
-        profile, subjects_T, lengths,
-        jnp.int32(gap_q), jnp.int32(gap_r),
-        local=local, use_matmul=True, track_range=False, m_real=mr,
-    )
-    return scores
+    return _psb(*args, **kwargs)
 
 
 def pair_score(q_codes, s_codes, matrix_padded, gap_open, gap_extend, local=True):

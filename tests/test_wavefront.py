@@ -109,7 +109,7 @@ def test_pair_scores_batch_matches_oracle():
     from libssa_tpu import matrices, oracle
     from libssa_tpu.constants import PADDED_ALPHABET
     from libssa_tpu.ops.scoring import make_profile
-    from libssa_tpu.ops.wavefront import pair_scores_batch
+    from libssa_tpu.ops.interseq import pair_scores_batch
 
     rng = np.random.default_rng(17)
     mat = matrices.builtin("BLOSUM62")
