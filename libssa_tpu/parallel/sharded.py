@@ -264,6 +264,7 @@ def sharded_search_sweep(
         "dtype",
         "kernel_impl",
         "limit",
+        "nlimit",
     ),
 )
 def sharded_multi_sweep(
@@ -285,6 +286,7 @@ def sharded_multi_sweep(
     dtype=jnp.float32,
     kernel_impl: str = "scan",
     limit: int | None = None,
+    nlimit: int | None = None,
 ):
     """Every (query, plan-step) pair of one shape group in ONE SPMD dispatch.
 
@@ -294,6 +296,12 @@ def sharded_multi_sweep(
     overflow flags reduce to one scalar per pair with ``psum`` — so the
     fetch is (pairs, k) lists plus (pairs,) flags no matter the DB size.
     NW rides the same sweep since r2 (traced per-query ``m_reals``).
+
+    ``nlimit``: requested narrow bit-width window (255/32767); when set,
+    each pair also psums the COUNT of its lanes whose score range left
+    that window — the faithful rescore rung statistic on the mesh
+    (kernels.stage_sweep's round-4 semantics; the recompute is elided
+    because f32 scores are exact inside the f32 ``limit`` window).
     """
 
     def device_fn(profs, subs, lens, ids, iq_d, ic_d, mrs):
@@ -333,7 +341,14 @@ def sharded_multi_sweep(
                 )
             else:
                 any_f = jnp.int32(0)
-            return top_s, top_i, any_f
+            if nlimit is not None:
+                nfl = interseq.overflow_flags(scores, hi, lo, nlimit, local)
+                n_fl = jax.lax.psum(
+                    jnp.sum((nfl & valid).astype(jnp.int32)), "d"
+                )
+            else:
+                n_fl = jnp.int32(0)
+            return top_s, top_i, any_f, n_fl
 
         return jax.lax.map(one, (iq_d, ic_d))
 
@@ -341,7 +356,7 @@ def sharded_multi_sweep(
         device_fn,
         mesh=mesh,
         in_specs=(P(), P(None, "d"), P(None, "d"), P(None, "d"), P(), P(), P()),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )(prof_stack, subjects, lengths, seq_ids, iq, ic, m_reals)
 
@@ -360,6 +375,7 @@ def sharded_multi_sweep(
         "dtype",
         "kernel_impl",
         "limit",
+        "nlimit",
     ),
 )
 def sharded_reduced_sweep(
@@ -381,6 +397,7 @@ def sharded_reduced_sweep(
     dtype=jnp.float32,
     kernel_impl: str = "scan",
     limit: int | None = None,
+    nlimit: int | None = None,
 ):
     """Frame-fanout translated search over the mesh, reduced on device.
 
@@ -394,7 +411,9 @@ def sharded_reduced_sweep(
     (a record's entries can straddle shards).
 
     Returns replicated ``(top_s, top_rec, top_entry, top_frame (k,),
-    any_f scalar)``.
+    any_f scalar, n_flagged scalar)`` — ``n_flagged`` counts entries whose
+    score range left the requested narrow window ``nlimit`` in any frame
+    (0 when None); the mesh rescore rung statistic.
     """
     NEG = jnp.int32(-(2**31) + 1)
     INVALID = jnp.int32(2**31 - 1)
@@ -429,6 +448,13 @@ def sharded_reduced_sweep(
                 any_f = jnp.any(fl & (id_t >= 0)[None, :])
             else:
                 any_f = jnp.bool_(False)
+            if nlimit is not None:
+                nfl = interseq.overflow_flags(s, hi, lo, nlimit, local)
+                n_fl = jnp.sum(
+                    (jnp.any(nfl, axis=0) & (id_t >= 0)).astype(jnp.int32)
+                )
+            else:
+                n_fl = jnp.int32(0)
             fmax = jnp.max(s.astype(jnp.int32), axis=0)  # (B,)
             farg = jnp.argmax(s.astype(jnp.int32), axis=0).astype(jnp.int32)
             valid = id_t >= 0
@@ -439,10 +465,11 @@ def sharded_reduced_sweep(
                 rec,
                 farg,
                 any_f,
+                n_fl,
             )
 
         g = subs.shape[0]
-        s, e, r, f, af = jax.lax.map(one, jnp.arange(g, dtype=jnp.int32))
+        s, e, r, f, af, nfl = jax.lax.map(one, jnp.arange(g, dtype=jnp.int32))
         s, e, r, f = (x.reshape(-1) for x in (s, e, r, f))
         # Local per-record best (lowest entry on score ties), then local
         # top-k records by (score desc, record asc).
@@ -459,6 +486,7 @@ def sharded_reduced_sweep(
         all_e = jax.lax.all_gather(e3[:kk], "d").reshape(-1)
         all_f = jax.lax.all_gather(f3[:kk], "d").reshape(-1)
         any_f = jax.lax.psum(local_any.astype(jnp.int32), "d")
+        n_flagged = jax.lax.psum(jnp.sum(nfl), "d")
         # Second record-dedup (same record's entries can straddle shards).
         mr1, mneg_s, me, mf = jax.lax.sort(
             (all_r, -all_s, all_e, all_f), num_keys=3
@@ -467,13 +495,13 @@ def sharded_reduced_sweep(
         ms2 = jnp.where(mfirst, -mneg_s, NEG)
         mr2 = jnp.where(mfirst, mr1, INVALID)
         fneg_s, fr, fe, ff = jax.lax.sort((-ms2, mr2, me, mf), num_keys=2)
-        return -fneg_s[:kk], fr[:kk], fe[:kk], ff[:kk], any_f
+        return -fneg_s[:kk], fr[:kk], fe[:kk], ff[:kk], any_f, n_flagged
 
     return jax.shard_map(
         device_fn,
         mesh=mesh,
         in_specs=(P(), P(None, "d"), P(None, "d"), P(None, "d"), P(), P()),
-        out_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P(), P()),
         check_vma=False,
     )(prof_stack, subjects, lengths, seq_ids, m_reals, group_of)
 
@@ -679,6 +707,7 @@ class ShardedSearchEngine:
                     m_real=m_real,
                     kernel_impl=self._kernel_impl(),
                 )
+                stats.dispatches += 1
                 flags = (
                     interseq.overflow_flags(scores, hi, lo, eff_limit, local)
                     if track
@@ -702,6 +731,7 @@ class ShardedSearchEngine:
                     axis=0,
                 )
             )  # (sum_g, 2k): scores then ids per row
+            stats.fetches += 1
             # Per-device top lists hold min(k, lanes) entries (a device
             # can't produce k candidates from fewer lanes) — derive the
             # actual width instead of assuming k (soak-caught: assuming k
@@ -718,6 +748,7 @@ class ShardedSearchEngine:
                 fl = fetch_global(
                     jnp.concatenate([f for _, _, _, f in pending], axis=0)
                 )
+                stats.fetches += 1
                 off = 0
                 for ids, _, _, _ in pending:
                     g = ids.shape[0]
@@ -760,7 +791,10 @@ class ShardedSearchEngine:
         stats.seconds += _time.perf_counter() - t0
         return host_topk(scores, ids, k)
 
-    def search_reduced(self, frames, group_of, k, local=True, stats=None):
+    def search_reduced(
+        self, frames, group_of, k, local=True, stats=None,
+        bit_width=None,
+    ):
         """Translated / frame-fanout search over the mesh.
 
         The sharded counterpart of ``SearchEngine.search_reduced``: this
@@ -769,15 +803,23 @@ class ShardedSearchEngine:
         ``(top_s, top_rec, top_entry, top_frame)`` with identical
         semantics to the single-device method (locked in
         tests/test_sharded.py), or ``None`` on an f32-window escape.
+        A narrow ``bit_width`` records the faithful rescore rung count in
+        ``stats.rescored`` (the recompute is elided — see
+        ``SearchEngine.search_reduced``).
         """
         import time as _time
 
+        from ..constants import SCORE_LIMIT_8, SCORE_LIMIT_16, BitWidth
         from ..ops.scoring import make_profile
         from ..search.manager import F32_WINDOW, SearchStats
 
         stats = stats if stats is not None else SearchStats()
         if not frames or any(len(f) == 0 for f in frames):
             raise ValueError("need at least one non-empty query frame")
+        nlimit = {
+            BitWidth.BIT8: SCORE_LIMIT_8,
+            BitWidth.BIT16: SCORE_LIMIT_16,
+        }.get(bit_width)
         t0 = _time.perf_counter()
         dtype = jnp.float32 if self.params.dtype == "float32" else jnp.int32
         track = dtype == jnp.float32
@@ -802,31 +844,43 @@ class ShardedSearchEngine:
         dev = self._device_groups()
         cand_s, cand_r, cand_e, cand_f = [], [], [], []
         overflowed = False
+        n_flagged_total = 0
         for gi, (n_pad, (codes_d, lens_d, ids_d, ids_np)) in enumerate(
             dev.items()
         ):
             try:
                 if self.fault_injector is not None:
                     self.fault_injector(gi)
-                top_s, top_r, top_e, top_f, any_f = sharded_reduced_sweep(
-                    prof_stack, codes_d, lens_d, ids_d, m_reals, group_dev,
-                    int(self.gap_q), int(self.gap_r),
-                    mesh=self.mesh, k=k, n_frames=len(frames), local=local,
-                    use_matmul=self.params.use_matmul and self._fallback._matmul_ok, track_range=track,
-                    dtype=dtype, kernel_impl=self._kernel_impl(), limit=limit,
+                top_s, top_r, top_e, top_f, any_f, n_fl = (
+                    sharded_reduced_sweep(
+                        prof_stack, codes_d, lens_d, ids_d, m_reals,
+                        group_dev,
+                        int(self.gap_q), int(self.gap_r),
+                        mesh=self.mesh, k=k, n_frames=len(frames),
+                        local=local,
+                        use_matmul=self.params.use_matmul and self._fallback._matmul_ok,
+                        track_range=track or nlimit is not None,
+                        dtype=dtype, kernel_impl=self._kernel_impl(),
+                        limit=limit, nlimit=nlimit,
+                    )
                 )
+                stats.dispatches += 1
                 fetched = np.asarray(
                     jnp.concatenate(
                         [top_s, top_r, top_e, top_f,
-                         any_f.astype(jnp.int32).reshape(1)]
+                         any_f.astype(jnp.int32).reshape(1),
+                         n_fl.reshape(1)]
                     )
                 ).astype(np.int64)
+                stats.fetches += 1
             except Exception:
                 # Failed SPMD group: re-queue its entries on the
                 # single-device fallback engine (SURVEY.md §5 failure
                 # detection — r3 extends the search() re-queue to the
                 # translated path, VERDICT r2 missing #5).
-                got = self._requeue_reduced(ids_np, frames, group_of, k, local)
+                got = self._requeue_reduced(
+                    ids_np, frames, group_of, k, local, stats, bit_width
+                )
                 if got is None:
                     overflowed = True
                     break
@@ -835,10 +889,11 @@ class ShardedSearchEngine:
                 cand_e.append(got[2])
                 cand_f.append(got[3])
                 continue
-            if fetched[-1]:
+            n_flagged_total += int(fetched[-1])
+            if fetched[-2]:
                 overflowed = True
                 break
-            kk = (len(fetched) - 1) // 4
+            kk = (len(fetched) - 2) // 4
             cand_s.append(fetched[:kk])
             cand_r.append(fetched[kk : 2 * kk])
             cand_e.append(fetched[2 * kk : 3 * kk])
@@ -847,7 +902,20 @@ class ShardedSearchEngine:
             stats.cells += len(f) * self.db.total_residues
         stats.subjects += len(self.db)
         stats.seconds += _time.perf_counter() - t0
+        if nlimit is not None and n_flagged_total:
+            stats.rescored[f"limit>{nlimit}"] = (
+                stats.rescored.get(f"limit>{nlimit}", 0) + n_flagged_total
+            )
         if overflowed:
+            from ..constants import OutputMode
+            from ..util.logging import log
+
+            log(
+                OutputMode.WARNING,
+                "sharded search_reduced: a score range left the f32 "
+                "exactness window; falling back to the exact path on the "
+                "SINGLE-device engine (this search will not use the mesh)",
+            )
             return None
         s = np.concatenate(cand_s)
         r = np.concatenate(cand_r)
@@ -869,7 +937,9 @@ class ShardedSearchEngine:
             f[order].astype(np.int32),
         )
 
-    def _requeue_reduced(self, ids_np, frames, group_of, k, local):
+    def _requeue_reduced(
+        self, ids_np, frames, group_of, k, local, stats=None, bit_width=None
+    ):
         """Re-run one failed reduced-sweep group on the fallback engine.
 
         Returns group-local top-k candidates ``(s, rec, entry, frame)``
@@ -877,6 +947,8 @@ class ShardedSearchEngine:
         argument: candidates merge with the healthy groups' lists in the
         caller's host dedup), or ``None`` on an f32-window escape.
         """
+        from ..constants import BitWidth
+
         self.requeued_chunks += int(ids_np.shape[0])
         flat = ids_np.reshape(-1)
         valid = np.unique(flat[flat >= 0]).astype(np.int32)
@@ -885,7 +957,10 @@ class ShardedSearchEngine:
         eng = self._fallback.__class__(
             sub, self.matrix, self.gap_open, self.gap_extend, self.params
         )
-        got = eng.search_reduced(frames, group_sub, k, local)
+        got = eng.search_reduced(
+            frames, group_sub, k, local, stats,
+            bit_width or BitWidth.EXACT,
+        )
         if got is None:
             return None
         s, r, e, f = got
@@ -933,7 +1008,7 @@ class ShardedSearchEngine:
         self._device_plan = dev
         return dev
 
-    def search_many(self, queries, k, local=True, stats=None):
+    def search_many(self, queries, k, local=True, stats=None, bit_width=None):
         """Per-query top-k over the mesh — the flagship multi-query sweep.
 
         Multi-query x multi-device (VERDICT r1 missing #5): queries group
@@ -942,10 +1017,13 @@ class ShardedSearchEngine:
         device-local top-k + all_gather merge. Only (pairs, k) hit lists
         and (pairs,) overflow scalars are fetched. Results are identical
         to ``SearchEngine.search_many`` (locked in tests/test_sharded.py).
+        A narrow ``bit_width`` records the faithful rescore rung count in
+        ``stats.rescored`` (recompute elided — see the single-device
+        method).
         """
         import time as _time
 
-        from ..constants import BitWidth
+        from ..constants import SCORE_LIMIT_8, SCORE_LIMIT_16, BitWidth
         from ..ops.scoring import make_profile
         from ..ops.topk import host_topk
         from ..search.manager import F32_WINDOW, SearchStats
@@ -953,6 +1031,10 @@ class ShardedSearchEngine:
         stats = stats if stats is not None else SearchStats()
         if not queries or any(len(q) == 0 for q in queries):
             raise ValueError("need at least one non-empty query")
+        nlimit = {
+            BitWidth.BIT8: SCORE_LIMIT_8,
+            BitWidth.BIT16: SCORE_LIMIT_16,
+        }.get(bit_width)
         t0 = _time.perf_counter()
 
         dtype = jnp.float32 if self.params.dtype == "float32" else jnp.int32
@@ -990,7 +1072,7 @@ class ShardedSearchEngine:
                 try:
                     if self.fault_injector is not None:
                         self.fault_injector(gi)
-                    top_s, top_i, any_f = sharded_multi_sweep(
+                    top_s, top_i, any_f, n_fl = sharded_multi_sweep(
                         prof_stack,
                         codes_d,
                         lens_d,
@@ -1010,11 +1092,13 @@ class ShardedSearchEngine:
                         k=k,
                         local=local,
                         use_matmul=self.params.use_matmul and self._fallback._matmul_ok,
-                        track_range=track,
+                        track_range=track or nlimit is not None,
                         dtype=dtype,
                         kernel_impl=self._kernel_impl(),
                         limit=limit,
+                        nlimit=nlimit,
                     )
+                    stats.dispatches += 1
                 except Exception:
                     # Failed SPMD group: re-queue this height group's
                     # queries against the group's entries on the
@@ -1029,13 +1113,14 @@ class ShardedSearchEngine:
                         self.gap_extend, self.params,
                     )
                     res = eng.search_many(
-                        [queries[qi] for qi in qis], k, local, stats
+                        [queries[qi] for qi in qis], k, local, stats,
+                        bit_width or BitWidth.EXACT,
                     )
                     for qi, (s_r, i_r) in zip(qis, res):
                         per_query_s[qi].append(np.asarray(s_r, np.int64))
                         per_query_i[qi].append(valid[i_r].astype(np.int64))
                     continue
-                pending.append((iq, top_s, top_i, any_f))
+                pending.append((iq, top_s, top_i, any_f, n_fl))
             if not pending:  # every shape group was re-queued
                 continue
             # One fetch for the whole height group (~40 ms per fence).
@@ -1043,26 +1128,46 @@ class ShardedSearchEngine:
                 jnp.concatenate(
                     [
                         jnp.concatenate(
-                            [s, i, f.reshape(-1, 1)], axis=1
+                            [s, i, f.reshape(-1, 1), n.reshape(-1, 1)],
+                            axis=1,
                         ).reshape(-1)
-                        for _, s, i, f in pending
+                        for _, s, i, f, n in pending
                     ]
                 )
             )
+            stats.fetches += 1
             off = 0
-            for iq, top_s, _, _ in pending:
+            n_flagged_total = 0
+            for iq, top_s, _, _, _ in pending:
                 pairs, kk = top_s.shape
-                blk = flat[off : off + pairs * (2 * kk + 1)].reshape(
-                    pairs, 2 * kk + 1
+                blk = flat[off : off + pairs * (2 * kk + 2)].reshape(
+                    pairs, 2 * kk + 2
                 )
-                off += pairs * (2 * kk + 1)
+                off += pairs * (2 * kk + 2)
                 for row, qrow in zip(blk, iq):
                     qi = qis[int(qrow)]
                     per_query_s[qi].append(row[:kk])
                     per_query_i[qi].append(row[kk : 2 * kk])
-                    if row[-1]:
+                    if row[-2]:
                         overflowed.add(qi)
+                    n_flagged_total += int(row[-1])
+            if nlimit is not None and n_flagged_total:
+                stats.rescored[f"limit>{nlimit}"] = (
+                    stats.rescored.get(f"limit>{nlimit}", 0)
+                    + n_flagged_total
+                )
 
+        if overflowed:
+            from ..constants import OutputMode
+            from ..util.logging import log
+
+            log(
+                OutputMode.WARNING,
+                f"sharded search_many: {len(overflowed)} quer"
+                f"{'y' if len(overflowed) == 1 else 'ies'} left the f32 "
+                "exactness window; rescoring them exactly on the "
+                "SINGLE-device engine (those queries will not use the mesh)",
+            )
         out = []
         for qi in range(len(queries)):
             if qi in overflowed:

@@ -277,7 +277,10 @@ def test_device_resident_ladder_path(small_db):
     np.testing.assert_array_equal(w_s, g3_s)
     np.testing.assert_array_equal(w_i, g3_i)
     assert st3.rescored
-    assert st3.dispatches == 2 and st3.fetches == 2  # scatter + re-topk
+    # r4 accounting counts the rescue's score_all stage too: ladder trip
+    # (1+1) + rescore stage (1 dispatch, scores+flags fetches) + the
+    # scatter/re-topk trip (1+1).
+    assert st3.dispatches == 3 and st3.fetches == 4
 
 
 def test_fused_ladder_round_trip_counts(small_db):
