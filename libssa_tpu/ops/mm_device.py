@@ -18,6 +18,23 @@ Both are banded-tile sweeps (ops/ring_block_pallas.py): the H/F row at
 ANY query row is the tile kernel's bottom-stream capture (traced
 band/row — one compilation serves every split row), and the end cell is
 the SW sweep with per-cell argmax-step tracking (``track_pos``).
+
+Round 4 (VERDICT r3 next-round #1 — kill the dispatch tax): the whole
+pair becomes DEVICE-RESIDENT once per alignment (``DevicePair``): the
+query's substitution row-profiles (forward AND reversed, built on device
+from the codes — the upload is codes + a KxK table, not planes) and the
+subject codes live in HBM, and every subproblem pass is a WINDOW into
+them via traced (offset, m, n) scalars. One Myers-Miller recursion level
+then runs as ONE dispatch (``_divide_level``: a ``lax.map`` over the
+level's nodes, each computing its forward and reverse rows, combining
+t1/t2, and arg-minning ON DEVICE) whose fetch is 4 int32 scalars per
+node — where round 3 re-uploaded host-packed planes per plan group and
+fetched full (CC, DD) streams. Out-of-window tiles are skipped with
+``lax.cond`` (rows past the capture block, columns past the
+subproblem's n), so the power-of-two grid rounding costs (almost) no
+compute. 30k x 30k NW full traceback: 3.78 s -> see
+docs/BENCH_RESULTS.md r4.
+
 ``hirschberg.align_pair_linear`` routes subproblems above a cell
 threshold here; NumPy remains the small-case / CPU path and the
 correctness anchor (tests cross-check all three).
@@ -35,21 +52,22 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import PADDED_ALPHABET
-from .longpair_pallas import band_height
+from .longpair_pallas import alphabet_planes, band_height
 from .ring_block_pallas import banded_tile, tile_shapes, top_stream_chunks
 
 NEG_F32 = float(-(2.0**24))
 SENTINEL = -(2**30)
 RB_DEF = 16384
 WC_DEF = 16384
+INF32 = 2**30
 
 
 def _plan(m, n, RB, WC, interpret, K=PADDED_ALPHABET):
     # FIXED two-level tile ladder: recursion subproblem sizes vary
     # continuously, and every distinct (RB, WC) is a separate Pallas
     # compile (tens of seconds via the remote-compile tunnel). Small
-    # tiles for small problems, else the full tile; pad waste is bounded
-    # by one block per axis.
+    # tiles for small problems, else the full tile; out-of-window tiles
+    # are cond-skipped, so pad waste is bounded by one block per axis.
     RB = 2048 if m <= 6144 else int(RB)
     WC = 2048 if n <= 6144 else int(WC)
     if interpret:  # CPU tests: tiny tiles keep interpret time sane
@@ -64,17 +82,32 @@ def _plan(m, n, RB, WC, interpret, K=PADDED_ALPHABET):
         # Grid dims round up to powers of two: every (Rb, Cc) pair is an
         # XLA retrace (remote-compiled, seconds) — recursion produces
         # continuously varying sizes, so bound the shape set (~25 pairs,
-        # cached persistently). Pad tiles are PAD-filled: bounded wasted
-        # compute (cheap next to a dispatch), exactness untouched.
+        # cached persistently). Out-of-window tiles are skipped by
+        # lax.cond in the scans, so the rounding is compute-free up to
+        # one block per axis.
         Rb = 1 << (Rb - 1).bit_length()
         Cc = 1 << (Cc - 1).bit_length()
     return RB, WC, T, B, Rb, Cc, CH
 
 
+def _next_pow2(x: int) -> int:
+    return 1 << (max(1, int(x)) - 1).bit_length()
+
+
+def _pad32(sub):
+    out = np.full((32, 32), -64, np.int64)
+    A = sub.shape[0]
+    out[:A, :A] = sub
+    return out
+
+
 def _pq_blocks(q_codes, matrix_padded, Rb, RB, B, K=PADDED_ALPHABET,
                CH=8):
-    # K-code space: pad at K-1, matrix pad column/row mapped onto it
-    # (longpair_pallas.alphabet_planes / build_planes convention).
+    """Host-packed (Rb, K, CH, B) f32 query planes — the one-shot form
+    used by ``tiled_pair`` and ``parallel.ring`` (whole-pair sweeps with
+    no windowing; Myers-Miller uses the device-resident ``DevicePair``
+    planes instead). K-code space: pad at K-1, matrix pad column/row
+    mapped onto it (longpair_pallas.alphabet_planes convention)."""
     cmap = np.arange(K, dtype=np.int64)
     cmap[K - 1] = PADDED_ALPHABET - 1
     q_full = np.full((Rb * RB,), K - 1, np.int64)
@@ -86,6 +119,7 @@ def _pq_blocks(q_codes, matrix_padded, Rb, RB, B, K=PADDED_ALPHABET,
 
 
 def _s_chunks(s_codes, Cc, WC, T, K=PADDED_ALPHABET):
+    """Host-packed (Cc, T) int32 subject chunks (see ``_pq_blocks``)."""
     PAD = K - 1
     s_chunks = np.full((Cc, T), PAD, np.int32)
     s_flat = np.full((Cc * WC,), PAD, np.int32)
@@ -94,31 +128,77 @@ def _s_chunks(s_codes, Cc, WC, T, K=PADDED_ALPHABET):
     return s_chunks
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("RB", "WC", "Q", "R", "interpret", "K", "CH"),
-)
-def _rows_score(
-    pq_blocks, s_chunks, m, tbf, *, RB, WC, Q, R, interpret,
-    K=PADDED_ALPHABET, CH=8,
-):
-    """NW grid fill; returns the FULL padded H and F streams of DP row
+def _kcode_matrix(matrix_padded, K):
+    """(K, K) f32 substitution table in the remapped K-code space.
+
+    Code K-1 is PAD, mapped onto the padded table's last (fill) row and
+    column — the ``longpair_pallas.alphabet_planes``/``build_planes``
+    convention.
+    """
+    cmap = np.arange(K, dtype=np.int64)
+    cmap[K - 1] = PADDED_ALPHABET - 1
+    return np.asarray(matrix_padded, np.float32)[np.ix_(cmap, cmap)]
+
+
+@jax.jit
+def _planes_from_codes(codes, mat_k):
+    """(L,) int32 K-codes -> (L, K) bf16 per-row substitution planes.
+
+    Built ON DEVICE: the host uploads codes (KBs), not planes (MBs) —
+    through the ~10 MB/s serving tunnel that difference is seconds per
+    alignment.
+    """
+    return mat_k[codes].astype(jnp.bfloat16)
+
+
+def _window_inputs(qprof, s_codes, q_off, m, s_off, n, *, RB, WC, Rb, Cc,
+                   CH, K, T, B):
+    """Masked (pq_blocks, s_chunks) for one subproblem window.
+
+    Rows past ``m`` are forced to the PAD profile row and columns past
+    ``n`` to the PAD code, so the window behaves EXACTLY like round 3's
+    host-packed buffers (the planes hold the full pair — unmasked
+    neighbors would leak real DP values into the pad region).
+    """
+    win = jax.lax.dynamic_slice(
+        qprof, (q_off.astype(jnp.int32), 0), (Rb * RB, K)
+    )
+    rows_l = jnp.arange(Rb * RB, dtype=jnp.int32)
+    win = jnp.where((rows_l < m)[:, None], win, qprof[-1][None, :])
+    pq_blocks = win.reshape(Rb, B, CH, K).transpose(0, 3, 2, 1)
+    n_pad = Cc * WC
+    swin = jax.lax.dynamic_slice(
+        s_codes, (s_off.astype(jnp.int32),), (n_pad,)
+    )
+    swin = jnp.where(jnp.arange(n_pad, dtype=jnp.int32) < n, swin, K - 1)
+    s_chunks = jnp.full((Cc, T), K - 1, jnp.int32)
+    s_chunks = s_chunks.at[:, :WC].set(swin.reshape(Cc, WC))
+    return pq_blocks, s_chunks
+
+
+def _rows_core(qprof, s_codes, q_off, m, s_off, n, tbf, *, RB, WC, Rb, Cc,
+               CH, K, Q, R, interpret):
+    """NW window fill; returns the padded H and F streams of DP row
     ``m`` (traced; callers slice [:n]).
 
     ``tbf``: the left-boundary vertical-gap open cost (g, or 0 when the
     gap crosses the subproblem boundary) — traced, so one compilation
-    serves both.
+    serves both. Row blocks past the capture block and column chunks
+    past ``n`` are skipped with ``lax.cond`` (their outputs can only
+    influence rows > m / columns > n, which callers never read).
     """
     T, B = tile_shapes(RB, WC, interpret, CH)
-    Rb = pq_blocks.shape[0]
-    Cc = s_chunks.shape[0]
     n_pad = Cc * WC
-    tile = banded_tile(
-        RB, WC, Q, R, False, interpret, n_planes=K, ch=CH
+    m = jnp.asarray(m, jnp.int32)
+    n = jnp.asarray(n, jnp.int32)
+    pq_blocks, s_chunks = _window_inputs(
+        qprof, s_codes, jnp.asarray(q_off, jnp.int32), m,
+        jnp.asarray(s_off, jnp.int32), n,
+        RB=RB, WC=WC, Rb=Rb, Cc=Cc, CH=CH, K=K, T=T, B=B,
     )
+    tile = banded_tile(RB, WC, Q, R, False, interpret, n_planes=K, ch=CH)
     Qf, Rf = jnp.float32(Q), jnp.float32(R)
     tbf = jnp.asarray(tbf, jnp.float32)
-    m = jnp.asarray(m, jnp.int32)
 
     def lcol(i):
         # H[i][0] = -(tb + R*i), H[0][0] = 0.
@@ -126,66 +206,77 @@ def _rows_score(
         return jnp.where(fi <= 0, 0.0, -(tbf + fi * Rf))
 
     # The block holding DP row m (traced): its stream is the answer.
-    # The grid may extend past it (power-of-two padding) with all-PAD
-    # blocks whose streams are garbage — the latch below ignores them.
     cap_blk = (m - 1) // RB
     last_local = m - 1 - cap_blk * RB  # 0-based row within that block
 
     def row_block(carry, xs):
-        botH_full, botF_full, capH, capF = carry
         pq_r, r = xs
-        i0 = r * RB + 1
-        rows = i0 + jnp.arange(RB, dtype=jnp.int32)
-        lH0 = lcol(rows).reshape(B, CH)
-        lD0 = lcol(rows.reshape(B, CH)[:, 0] - 1).reshape(1, B)
-        corner0 = lcol(jnp.asarray(i0 - 1, jnp.int32)).reshape(1)
-        topH_ext = jnp.concatenate([corner0, botH_full])
-        is_cap = r == cap_blk
-        bot_band = jnp.where(is_cap, last_local // CH, B - 1)
-        bot_row = jnp.where(is_cap, last_local % CH, CH - 1)
 
-        def chunk(ccarry, cxs):
-            rH_prev, rE_prev = ccarry
-            s_c, topH_c, topF_c, c = cxs
-            first = c == 0
-            lH = jnp.where(first, lH0.T, rH_prev)
-            lE = jnp.where(
-                first, jnp.full((CH, B), NEG_F32, jnp.float32), rE_prev
+        def brun(c):
+            botH_full, botF_full, capH, capF = c
+            i0 = r * RB + 1
+            rows = i0 + jnp.arange(RB, dtype=jnp.int32)
+            lH0 = lcol(rows).reshape(B, CH)
+            lD0 = lcol(rows.reshape(B, CH)[:, 0] - 1).reshape(1, B)
+            corner0 = lcol(jnp.asarray(i0 - 1, jnp.int32)).reshape(1)
+            topH_ext = jnp.concatenate([corner0, botH_full])
+            is_cap = r == cap_blk
+            bot_band = jnp.where(is_cap, last_local // CH, B - 1)
+            bot_row = jnp.where(is_cap, last_local % CH, CH - 1)
+
+            def chunk(ccarry, cxs):
+                s_c, topH_c, topF_c, cc = cxs
+
+                def crun(cin):
+                    rH_prev, rE_prev = cin
+                    first = cc == 0
+                    lH = jnp.where(first, lH0.T, rH_prev)
+                    lE = jnp.where(
+                        first,
+                        jnp.full((CH, B), NEG_F32, jnp.float32),
+                        rE_prev,
+                    )
+                    lD = jnp.where(
+                        first,
+                        lD0,
+                        jnp.concatenate(
+                            [jnp.zeros((1, 1), jnp.float32),
+                             rH_prev[CH - 1 : CH, :-1]],
+                            axis=1,
+                        ),
+                    )
+                    acc, cap, rH, rE, bH, bF = tile(
+                        s_c, topH_c, topF_c, pq_r, lH, lE, lD,
+                        0, SENTINEL, bot_band, bot_row,
+                    )
+                    return (rH, rE), (bH, bF)
+
+                def cskip(cin):
+                    z = jnp.zeros((WC,), jnp.float32)
+                    return cin, (z, z)
+
+                return jax.lax.cond(cc * WC < n, crun, cskip, ccarry)
+
+            cs, topH_chunks, topF_chunks = top_stream_chunks(
+                topH_ext, botF_full, Cc, WC, T
             )
-            lD = jnp.where(
-                first,
-                lD0,
-                jnp.concatenate(
-                    [jnp.zeros((1, 1), jnp.float32),
-                     rH_prev[CH - 1 : CH, :-1]],
-                    axis=1,
+            _, (bHs, bFs) = jax.lax.scan(
+                chunk,
+                (
+                    jnp.zeros((CH, B), jnp.float32),
+                    jnp.full((CH, B), NEG_F32, jnp.float32),
                 ),
+                (s_chunks, topH_chunks, topF_chunks, cs),
             )
-            acc, cap, rH, rE, bH, bF = tile(
-                s_c, topH_c, topF_c, pq_r, lH, lE, lD,
-                0, SENTINEL, bot_band, bot_row,
-            )
-            return (rH, rE), (bH, bF)
+            bHf, bFf = bHs.reshape(-1), bFs.reshape(-1)
+            capH = jnp.where(is_cap, bHf, capH)
+            capF = jnp.where(is_cap, bFf, capF)
+            # For r == cap_blk the emitted stream is the CAPTURED row,
+            # not the block's bottom row — later blocks' top feeds are
+            # then wrong, but they are all skipped (r > cap_blk).
+            return (bHf, bFf, capH, capF)
 
-        cs, topH_chunks, topF_chunks = top_stream_chunks(
-            topH_ext, botF_full, Cc, WC, T
-        )
-
-        _, (bHs, bFs) = jax.lax.scan(
-            chunk,
-            (
-                jnp.zeros((CH, B), jnp.float32),
-                jnp.full((CH, B), NEG_F32, jnp.float32),
-            ),
-            (s_chunks, topH_chunks, topF_chunks, cs),
-        )
-        bHf, bFf = bHs.reshape(-1), bFs.reshape(-1)
-        capH = jnp.where(is_cap, bHf, capH)
-        capF = jnp.where(is_cap, bFf, capF)
-        # For r == cap_blk the emitted stream is the CAPTURED row, not
-        # the block's bottom row — later blocks' top feeds are then
-        # wrong, but only all-PAD padding blocks follow the capture.
-        return (bHf, bFf, capH, capF), None
+        return jax.lax.cond(r * RB < m, brun, lambda c: c, carry), None
 
     js = 1 + jnp.arange(n_pad, dtype=jnp.int32)
     topH0 = -(Qf + (js.astype(jnp.float32) - 1.0) * Rf)
@@ -199,6 +290,298 @@ def _rows_score(
     return bH, bF
 
 
+_ROWS_STATICS = ("RB", "WC", "Rb", "Cc", "CH", "K", "Q", "R", "interpret")
+
+_rows_pass = functools.partial(jax.jit, static_argnames=_ROWS_STATICS)(
+    _rows_core
+)
+
+
+@functools.partial(jax.jit, static_argnames=_ROWS_STATICS)
+def _divide_level(qprof_f, qprof_r, s_f, s_r, meta, M, N, *, RB, WC, Rb,
+                  Cc, CH, K, Q, R, interpret):
+    """One whole Myers-Miller recursion level in ONE dispatch.
+
+    ``meta``: (Nn, 6) int32 rows ``[qs, qe, ss, se, tbf_zero, tbr_zero]``
+    in ABSOLUTE pair coordinates (padded to a power-of-two count with
+    copies of row 0 to bound retraces). Per node: the forward pass over
+    q[qs:qs+mid] x s[ss:se], the reverse pass over the reversed
+    remainder (both are windows into the resident fwd/rev planes), the
+    t1/t2 crossing costs, and their argmins — all on device, in exact
+    int32 (f32 stream values are exact inside the guarded 2**24 window,
+    but their SUMS can reach 2**25 where odd integers round in f32).
+
+    Returns (Nn, 4) int32 ``[j1, j2, t1[j1], t2[j2]]``.
+    """
+    n_pad = Cc * WC
+    g = jnp.int32(Q - R)
+    INF = jnp.int32(INF32)
+
+    def one(row):
+        qs, qe, ss, se = row[0], row[1], row[2], row[3]
+        mid = (qe - qs) // 2
+        mr = (qe - qs) - mid
+        nn = se - ss
+        tbf = jnp.where(row[4] == 1, 0, Q - R).astype(jnp.float32)
+        tbr = jnp.where(row[5] == 1, 0, Q - R).astype(jnp.float32)
+        bHf, bFf = _rows_core(
+            qprof_f, s_f, qs, mid, ss, nn, tbf,
+            RB=RB, WC=WC, Rb=Rb, Cc=Cc, CH=CH, K=K, Q=Q, R=R,
+            interpret=interpret,
+        )
+        bHr, bFr = _rows_core(
+            qprof_r, s_r, M - qe, mr, N - se, nn, tbr,
+            RB=RB, WC=WC, Rb=Rb, Cc=Cc, CH=CH, K=K, Q=Q, R=R,
+            interpret=interpret,
+        )
+        c0f = (tbf.astype(jnp.int32) + R * mid).reshape(1)
+        c0r = (tbr.astype(jnp.int32) + R * mr).reshape(1)
+        CCf = jnp.concatenate([c0f, (-bHf).astype(jnp.int32)])
+        DDf = jnp.concatenate([c0f, (-bFf).astype(jnp.int32)])
+        CCr = jnp.concatenate([c0r, (-bHr).astype(jnp.int32)])
+        DDr = jnp.concatenate([c0r, (-bFr).astype(jnp.int32)])
+        j = jnp.arange(n_pad + 1, dtype=jnp.int32)
+        jr = jnp.clip(nn - j, 0, n_pad)
+        bad = j > nn
+        t1 = jnp.where(bad, INF, CCf + CCr[jr])
+        t2 = jnp.where(bad, INF, DDf + DDr[jr] - g)
+        j1 = jnp.argmin(t1).astype(jnp.int32)  # first min — np.argmin
+        j2 = jnp.argmin(t2).astype(jnp.int32)
+        return jnp.stack([j1, j2, t1[j1], t2[j2]])
+
+    return jax.lax.map(one, meta)
+
+
+@functools.partial(jax.jit, static_argnames=_ROWS_STATICS)
+def _sw_end_win(qprof, s_codes, q_off, m, s_off, n, *, RB, WC, Rb, Cc, CH,
+                K, Q, R, interpret):
+    """SW window fill with per-cell argmax-step tracking.
+
+    Returns the window-local (best, i, j) — 1-based inclusive end cell
+    with the oracle tie-break, reduced ON DEVICE (the per-tile stacks
+    would be a multi-hundred-MB fetch for giant pairs).
+    """
+    T, B = tile_shapes(RB, WC, interpret, CH)
+    n_pad = Cc * WC
+    m = jnp.asarray(m, jnp.int32)
+    n = jnp.asarray(n, jnp.int32)
+    pq_blocks, s_chunks = _window_inputs(
+        qprof, s_codes, jnp.asarray(q_off, jnp.int32), m,
+        jnp.asarray(s_off, jnp.int32), n,
+        RB=RB, WC=WC, Rb=Rb, Cc=Cc, CH=CH, K=K, T=T, B=B,
+    )
+    tile = banded_tile(
+        RB, WC, Q, R, True, interpret, track_pos=True, n_planes=K, ch=CH
+    )
+
+    def row_block(carry, xs):
+        pq_r, r = xs
+
+        def brun(c):
+            botH_full, botF_full = c
+            topH_ext = jnp.concatenate(
+                [jnp.zeros((1,), jnp.float32), botH_full]
+            )
+
+            def chunk(ccarry, cxs):
+                s_c, topH_c, topF_c, cc = cxs
+
+                def crun(cin):
+                    rH_prev, rE_prev = cin
+                    first = cc == 0
+                    lH = jnp.where(
+                        first, jnp.zeros((CH, B), jnp.float32), rH_prev
+                    )
+                    lE = jnp.where(
+                        first,
+                        jnp.full((CH, B), NEG_F32, jnp.float32),
+                        rE_prev,
+                    )
+                    lD = jnp.where(
+                        first,
+                        jnp.zeros((1, B), jnp.float32),
+                        jnp.concatenate(
+                            [jnp.zeros((1, 1), jnp.float32),
+                             rH_prev[CH - 1 : CH, :-1]],
+                            axis=1,
+                        ),
+                    )
+                    acc, cap, rH, rE, bH, bF, tbest = tile(
+                        s_c, topH_c, topF_c, pq_r, lH, lE, lD, 0, SENTINEL
+                    )
+                    return (rH, rE), (acc, tbest, bH, bF)
+
+                def cskip(cin):
+                    z8 = jnp.zeros((CH, B), jnp.float32)
+                    z = jnp.zeros((WC,), jnp.float32)
+                    return cin, (z8, z8, z, z)
+
+                return jax.lax.cond(cc * WC < n, crun, cskip, ccarry)
+
+            cs, topH_chunks, topF_chunks = top_stream_chunks(
+                topH_ext, botF_full, Cc, WC, T
+            )
+            _, (accs, tbests, bHs, bFs) = jax.lax.scan(
+                chunk,
+                (
+                    jnp.zeros((CH, B), jnp.float32),
+                    jnp.full((CH, B), NEG_F32, jnp.float32),
+                ),
+                (s_chunks, topH_chunks, topF_chunks, cs),
+            )
+            return (bHs.reshape(-1), bFs.reshape(-1)), (accs, tbests)
+
+        def bskip(c):
+            z8 = jnp.zeros((Cc, CH, B), jnp.float32)
+            return c, (z8, z8)
+
+        return jax.lax.cond(r * RB < m, brun, bskip, carry)
+
+    topH0 = jnp.zeros((n_pad,), jnp.float32)
+    topF0 = jnp.full((n_pad,), NEG_F32, jnp.float32)
+    _, (accs, tbests) = jax.lax.scan(
+        row_block,
+        (topH0, topF0),
+        (pq_blocks, jnp.arange(Rb, dtype=jnp.int32)),
+    )
+    # Reduce the argmax + (smallest gi, then gj) tie-break ON DEVICE.
+    # Pad rows/columns are masked to the PAD profile, so their h stays
+    # <= 0 and can never tie a positive best; callers discard best <= 0.
+    shape = accs.shape  # (Rb, Cc, CH, B)
+    rblk = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cblk = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    r8 = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    band = jax.lax.broadcasted_iota(jnp.int32, shape, 3)
+    gi = rblk * RB + band * CH + r8 + 1
+    gj = cblk * WC + (tbests.astype(jnp.int32) - band) + 1
+    best = jnp.max(accs)
+    mask = accs == best
+    BIG = jnp.int32(INF32)
+    min_gi = jnp.min(jnp.where(mask, gi, BIG))
+    min_gj = jnp.min(jnp.where(mask & (gi == min_gi), gj, BIG))
+    return best, min_gi, min_gj
+
+
+class DevicePair:
+    """Device-resident planes of ONE (query, subject) pair.
+
+    Uploaded once per ``hirschberg.align_pair_linear`` call: the K-coded
+    query (forward and reversed) expanded into bf16 substitution
+    row-profiles ON DEVICE, plus the subject codes (both directions).
+    Every Myers-Miller divide pass and SW end-cell sweep is then a
+    traced (offset, m, n) window into these arrays — no per-level host
+    packing or re-upload (VERDICT r3 next-round #1).
+
+    Plane capacities carry slack for the worst window over any level
+    (window <= 2*ceil(m/2) + 2*RB rows past an offset <= m; see the
+    assertions) and round to powers of two so different pair sizes share
+    compilations.
+    """
+
+    def __init__(self, q_codes, s_codes, matrix_padded, gap_q, gap_r,
+                 interpret=False, RB=RB_DEF, WC=WC_DEF):
+        q = np.asarray(q_codes, np.int32)
+        s = np.asarray(s_codes, np.int32)
+        self.m, self.n = len(q), len(s)
+        self.K = alphabet_planes(q, s)
+        self.Q, self.R = int(gap_q), int(gap_r)
+        self.RB, self.WC = int(RB), int(WC)
+        self.interpret = bool(interpret)
+        K = self.K
+        self.Mp = _next_pow2(2 * self.m + 3 * self.RB)
+        self.Np = _next_pow2(3 * self.n + 3 * self.WC)
+        mat_k = jnp.asarray(_kcode_matrix(matrix_padded, K))
+
+        def _codes(arr, L):
+            out = np.full(L, K - 1, np.int32)
+            out[: len(arr)] = arr
+            return jnp.asarray(out)
+
+        self.qprof_f = _planes_from_codes(_codes(q, self.Mp), mat_k)
+        self.qprof_r = _planes_from_codes(_codes(q[::-1], self.Mp), mat_k)
+        self.s_f = _codes(s, self.Np)
+        self.s_r = _codes(s[::-1], self.Np)
+        self.dispatches = 0  # observability: round trips this pair paid
+
+    def _statics(self, m, n):
+        RB, WC, T, B, Rb, Cc, CH = _plan(
+            m, n, self.RB, self.WC, self.interpret, self.K
+        )
+        assert Rb * RB <= self.Mp - self.m, (Rb, RB, self.Mp, self.m)
+        assert Cc * WC <= self.Np - self.n, (Cc, WC, self.Np, self.n)
+        return dict(
+            RB=RB, WC=WC, Rb=Rb, Cc=Cc, CH=CH, K=self.K, Q=self.Q,
+            R=self.R, interpret=self.interpret,
+        )
+
+    def divide_level(self, nodes):
+        """All divide passes of one recursion LEVEL in one dispatch.
+
+        ``nodes``: ``[(qs, qe, ss, se, tbf_is_zero, tbr_is_zero)]`` in
+        absolute pair coordinates. Returns ``[(j1, j2, v1, v2)]`` int —
+        the t1/t2 argmins and values ``hirschberg._nw_ops`` splits on.
+        """
+        m_lev = max(
+            max((qe - qs) // 2, (qe - qs) - (qe - qs) // 2)
+            for qs, qe, _, _, _, _ in nodes
+        )
+        n_lev = max(se - ss for _, _, ss, se, _, _ in nodes)
+        statics = self._statics(m_lev, n_lev)
+        Nn = len(nodes)
+        Npad = _next_pow2(Nn)
+        meta = np.zeros((Npad, 6), np.int32)
+        for i, (qs, qe, ss, se, f0, r0) in enumerate(nodes):
+            meta[i] = (qs, qe, ss, se, int(bool(f0)), int(bool(r0)))
+        meta[Nn:] = meta[0]
+        out = np.asarray(
+            _divide_level(
+                self.qprof_f, self.qprof_r, self.s_f, self.s_r,
+                jnp.asarray(meta), jnp.int32(self.m), jnp.int32(self.n),
+                **statics,
+            )
+        )
+        self.dispatches += 1
+        return [tuple(int(v) for v in out[i]) for i in range(Nn)]
+
+    def mm_pass(self, q_off, m, s_off, n, tb_is_zero, reverse=False):
+        """(CC, DD) int64 rows of one window — device analogue of
+        ``hirschberg._mm_pass`` on ``q[q_off:q_off+m]`` x
+        ``s[s_off:s_off+n]`` (reversed planes when ``reverse``)."""
+        statics = self._statics(m, n)
+        tb = 0 if tb_is_zero else self.Q - self.R
+        bH, bF = _rows_pass(
+            self.qprof_r if reverse else self.qprof_f,
+            self.s_r if reverse else self.s_f,
+            jnp.int32(q_off), jnp.int32(m), jnp.int32(s_off),
+            jnp.int32(n), float(tb), **statics,
+        )
+        self.dispatches += 1
+        bH, bF = np.asarray(bH)[:n], np.asarray(bF)[:n]
+        CC = np.empty(n + 1, np.int64)
+        DD = np.empty(n + 1, np.int64)
+        CC[0] = tb + self.R * m
+        DD[0] = tb + self.R * m
+        CC[1:] = -bH.astype(np.int64)
+        DD[1:] = -bF.astype(np.int64)
+        return CC, DD
+
+    def sw_end(self, q_off, m, s_off, n, reverse=False):
+        """Window-local (best, end_i, end_j), 1-based inclusive — the
+        oracle tie-break (smallest i, then smallest j)."""
+        statics = self._statics(m, n)
+        best, gi, gj = _sw_end_win(
+            self.qprof_r if reverse else self.qprof_f,
+            self.s_r if reverse else self.s_f,
+            jnp.int32(q_off), jnp.int32(m), jnp.int32(s_off),
+            jnp.int32(n), **statics,
+        )
+        self.dispatches += 1
+        best = int(np.asarray(best))
+        if best <= 0:
+            return 0, 0, 0
+        return best, int(np.asarray(gi)), int(np.asarray(gj))
+
+
 def mm_pass_rows(
     q_codes: np.ndarray,
     s_codes: np.ndarray,
@@ -210,260 +593,16 @@ def mm_pass_rows(
     WC: int = WC_DEF,
     interpret: bool = False,
 ):
-    """(CC, DD) int64 rows — device analogue of ``hirschberg._mm_pass``.
+    """One-shot (CC, DD) rows — the test anchor for the windowed core.
 
-    CC[j]/DD[j] for j = 0..n; exact while every |H| < 2**24 (callers
-    guard with ``longpair.score_bound``).
+    Production uses a shared ``DevicePair`` per alignment; this builds a
+    throwaway one (exact while every |H| < 2**24 — callers guard with
+    ``longpair.score_bound``).
     """
-    from .longpair_pallas import alphabet_planes
-
-    m, n = len(q_codes), len(s_codes)
-    Q, R = int(gap_q), int(gap_r)
-    K = alphabet_planes(np.asarray(q_codes), np.asarray(s_codes))
-    RB, WC, T, B, Rb, Cc, CH = _plan(m, n, RB, WC, interpret, K)
-    tb = 0 if tb_is_zero else Q - R
-    bH, bF = _rows_score(
-        jnp.asarray(
-            _pq_blocks(q_codes, matrix_padded, Rb, RB, B, K, CH)
-        ).astype(jnp.bfloat16),
-        jnp.asarray(_s_chunks(s_codes, Cc, WC, T, K)),
-        m, float(tb),
-        RB=RB, WC=WC, Q=Q, R=R, interpret=bool(interpret), K=K, CH=CH,
+    dev = DevicePair(
+        q_codes, s_codes, matrix_padded, gap_q, gap_r, interpret, RB, WC
     )
-    bH, bF = np.asarray(bH)[:n], np.asarray(bF)[:n]
-    CC = np.empty(n + 1, np.int64)
-    DD = np.empty(n + 1, np.int64)
-    CC[0] = tb + R * m
-    DD[0] = tb + R * m
-    CC[1:] = -bH.astype(np.int64)
-    DD[1:] = -bF.astype(np.int64)
-    return CC, DD
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("RB", "WC", "Q", "R", "interpret", "K", "CH"),
-)
-def _rows_score_pair(pq2, s2, m2, tb2, *, RB, WC, Q, R, interpret,
-                     K=PADDED_ALPHABET, CH=8):
-    """A STACK of Myers-Miller divide passes in ONE program:
-    ``lax.map`` over the leading axis — one dispatch+fence serves a
-    whole recursion level (the warm-time cost of a huge-pair traceback
-    is round trips, not device compute). The leading dim is shape-
-    static; callers pad it to a power of two to bound retraces."""
-    return jax.lax.map(
-        lambda x: _rows_score(
-            x[0], x[1], x[2], x[3],
-            RB=RB, WC=WC, Q=Q, R=R, interpret=interpret, K=K, CH=CH,
-        ),
-        (pq2, s2, m2, tb2),
-    )
-
-
-def mm_pass_rows_batch(
-    problems,
-    matrix_padded: np.ndarray,
-    gap_q: int,
-    gap_r: int,
-    RB: int = RB_DEF,
-    WC: int = WC_DEF,
-    interpret: bool = False,
-    min_group_cells: int = 0,
-):
-    """All row passes of one Myers-Miller recursion LEVEL, batched.
-
-    ``problems``: list of ``(q_codes, s_codes, tb_is_zero)``. Returns a
-    list of ``(CC, DD)`` int64 pairs in the same order. Problems are
-    grouped by tile plan (same-level subproblems share m to within one
-    row, so 1-3 groups is typical); each group is stacked — padded to a
-    power-of-two count with copies of its first member to bound
-    retraces — and runs as ONE jitted dispatch. Groups whose total
-    cells fall below ``min_group_cells`` are not worth a round trip:
-    their entries come back ``None`` and the caller uses its host pass.
-    """
-    from .longpair_pallas import alphabet_planes
-
-    Q, R = int(gap_q), int(gap_r)
-    arrs = []
-    for qq, ss, _ in problems:
-        arrs.append(np.asarray(qq))
-        arrs.append(np.asarray(ss))
-    K = alphabet_planes(*arrs)
-    groups = {}
-    for idx, (qq, ss, _) in enumerate(problems):
-        plan = _plan(len(qq), len(ss), RB, WC, interpret, K)
-        groups.setdefault(plan, []).append(idx)
-    out = [None] * len(problems)
-    for plan, idxs in groups.items():
-        if sum(len(problems[i][0]) * len(problems[i][1]) for i in idxs) < (
-            min_group_cells
-        ):
-            continue
-        RBg, WCg, T, B, Rb, Cc, CH = plan
-        N = 1 << (len(idxs) - 1).bit_length() if len(idxs) > 1 else 1
-        sel = idxs + [idxs[0]] * (N - len(idxs))
-        pq = np.stack(
-            [
-                _pq_blocks(problems[i][0], matrix_padded, Rb, RBg, B, K, CH)
-                for i in sel
-            ]
-        )
-        s2 = np.stack(
-            [_s_chunks(problems[i][1], Cc, WCg, T, K) for i in sel]
-        )
-        ms = np.asarray([len(problems[i][0]) for i in sel], np.int32)
-        tbs = np.asarray(
-            [0.0 if problems[i][2] else float(Q - R) for i in sel],
-            np.float32,
-        )
-        bH, bF = _rows_score_pair(
-            jnp.asarray(pq).astype(jnp.bfloat16),
-            jnp.asarray(s2),
-            jnp.asarray(ms),
-            jnp.asarray(tbs),
-            RB=RBg, WC=WCg, Q=Q, R=R, interpret=bool(interpret), K=K,
-            CH=CH,
-        )
-        bH, bF = np.asarray(bH), np.asarray(bF)
-        for k, i in enumerate(idxs):
-            qq, ss, tb0 = problems[i]
-            mm_, nn = len(qq), len(ss)
-            tb = 0 if tb0 else Q - R
-            CC = np.empty(nn + 1, np.int64)
-            DD = np.empty(nn + 1, np.int64)
-            CC[0] = tb + R * mm_
-            DD[0] = tb + R * mm_
-            CC[1:] = -bH[k][:nn].astype(np.int64)
-            DD[1:] = -bF[k][:nn].astype(np.int64)
-            out[i] = (CC, DD)
-    return out
-
-
-def mm_pass_rows_pair(
-    qf_codes: np.ndarray,
-    sf_codes: np.ndarray,
-    tbf_is_zero: bool,
-    qr_codes: np.ndarray,
-    sr_codes: np.ndarray,
-    tbr_is_zero: bool,
-    matrix_padded: np.ndarray,
-    gap_q: int,
-    gap_r: int,
-    RB: int = RB_DEF,
-    WC: int = WC_DEF,
-    interpret: bool = False,
-):
-    """Both (CC, DD) row pairs of one divide level in ONE dispatch.
-
-    The two passes of a Myers-Miller divide share ``n`` (full subject,
-    forward and reversed) and differ in ``m`` by at most one row, so
-    they almost always share a tile plan; returns None when the plans
-    differ (caller falls back to two ``mm_pass_rows`` calls). Thin
-    wrapper over ``mm_pass_rows_batch``.
-    """
-    from .longpair_pallas import alphabet_planes
-
-    K = alphabet_planes(
-        np.asarray(qf_codes), np.asarray(sf_codes),
-        np.asarray(qr_codes), np.asarray(sr_codes),
-    )
-    if _plan(len(qf_codes), len(sf_codes), RB, WC, interpret, K) != _plan(
-        len(qr_codes), len(sr_codes), RB, WC, interpret, K
-    ):
-        return None
-    return mm_pass_rows_batch(
-        [(qf_codes, sf_codes, tbf_is_zero), (qr_codes, sr_codes, tbr_is_zero)],
-        matrix_padded, gap_q, gap_r, RB=RB, WC=WC, interpret=interpret,
-    )
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("RB", "WC", "Q", "R", "interpret", "K", "CH"),
-)
-def _sw_end_score(pq_blocks, s_chunks, *, RB, WC, Q, R, interpret,
-                  K=PADDED_ALPHABET, CH=8):
-    """SW grid fill with per-cell argmax-step tracking.
-
-    Returns stacked per-tile (acc, tbest) — (Rb, Cc, CH, B) each.
-    """
-    T, B = tile_shapes(RB, WC, interpret, CH)
-    Rb = pq_blocks.shape[0]
-    Cc = s_chunks.shape[0]
-    n_pad = Cc * WC
-    tile = banded_tile(
-        RB, WC, Q, R, True, interpret, track_pos=True, n_planes=K, ch=CH
-    )
-
-    def row_block(carry, xs):
-        botH_full, botF_full = carry
-        pq_r, r = xs
-        topH_ext = jnp.concatenate(
-            [jnp.zeros((1,), jnp.float32), botH_full]
-        )
-
-        def chunk(ccarry, cxs):
-            rH_prev, rE_prev = ccarry
-            s_c, topH_c, topF_c, c = cxs
-            first = c == 0
-            lH = jnp.where(
-                first, jnp.zeros((CH, B), jnp.float32), rH_prev
-            )
-            lE = jnp.where(
-                first, jnp.full((CH, B), NEG_F32, jnp.float32), rE_prev
-            )
-            lD = jnp.where(
-                first,
-                jnp.zeros((1, B), jnp.float32),
-                jnp.concatenate(
-                    [jnp.zeros((1, 1), jnp.float32),
-                     rH_prev[CH - 1 : CH, :-1]],
-                    axis=1,
-                ),
-            )
-            acc, cap, rH, rE, bH, bF, tbest = tile(
-                s_c, topH_c, topF_c, pq_r, lH, lE, lD, 0, SENTINEL
-            )
-            return (rH, rE), (acc, tbest, bH, bF)
-
-        cs, topH_chunks, topF_chunks = top_stream_chunks(
-            topH_ext, botF_full, Cc, WC, T
-        )
-
-        _, (accs, tbests, bHs, bFs) = jax.lax.scan(
-            chunk,
-            (
-                jnp.zeros((CH, B), jnp.float32),
-                jnp.full((CH, B), NEG_F32, jnp.float32),
-            ),
-            (s_chunks, topH_chunks, topF_chunks, cs),
-        )
-        return (bHs.reshape(-1), bFs.reshape(-1)), (accs, tbests)
-
-    topH0 = jnp.zeros((n_pad,), jnp.float32)
-    topF0 = jnp.full((n_pad,), NEG_F32, jnp.float32)
-    _, (accs, tbests) = jax.lax.scan(
-        row_block,
-        (topH0, topF0),
-        (pq_blocks, jnp.arange(Rb, dtype=jnp.int32)),
-    )
-    # Reduce the argmax + (smallest gi, then gj) tie-break ON DEVICE: the
-    # per-tile stacks are (Rb, Cc, CH, B) — hundreds of MB for giant
-    # pairs — while the caller only needs three scalars, and the
-    # serving-link fetch is ~7 MB/s (docs/PERF_NOTES.md).
-    shape = accs.shape  # (Rb, Cc, CH, B)
-    rblk = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    cblk = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    r8 = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
-    band = jax.lax.broadcasted_iota(jnp.int32, shape, 3)
-    gi = rblk * RB + band * CH + r8 + 1
-    gj = cblk * WC + (tbests.astype(jnp.int32) - band) + 1
-    best = jnp.max(accs)
-    mask = accs == best
-    BIG = jnp.int32(2**30)
-    min_gi = jnp.min(jnp.where(mask, gi, BIG))
-    min_gj = jnp.min(jnp.where(mask & (gi == min_gi), gj, BIG))
-    return best, min_gi, min_gj
+    return dev.mm_pass(0, dev.m, 0, dev.n, tb_is_zero)
 
 
 def sw_end_cell(
@@ -477,27 +616,9 @@ def sw_end_cell(
     interpret: bool = False,
 ):
     """(best, end_i, end_j) 1-based inclusive — device analogue of
-    ``hirschberg._score_end_sw`` with the oracle tie-break (smallest i,
-    then smallest j)."""
-    from .longpair_pallas import alphabet_planes
-
-    m, n = len(q_codes), len(s_codes)
-    Q, R = int(gap_q), int(gap_r)
-    K = alphabet_planes(np.asarray(q_codes), np.asarray(s_codes))
-    RB, WC, T, B, Rb, Cc, CH = _plan(m, n, RB, WC, interpret, K)
-    best, gi, gj = _sw_end_score(
-        jnp.asarray(
-            _pq_blocks(q_codes, matrix_padded, Rb, RB, B, K, CH)
-        ).astype(jnp.bfloat16),
-        jnp.asarray(_s_chunks(s_codes, Cc, WC, T, K)),
-        RB=RB, WC=WC, Q=Q, R=R, interpret=bool(interpret), K=K, CH=CH,
+    ``hirschberg._score_end_sw`` (throwaway DevicePair; see mm_pass_rows).
+    """
+    dev = DevicePair(
+        q_codes, s_codes, matrix_padded, gap_q, gap_r, interpret, RB, WC
     )
-    # Three scalars fetched; the argmax + (smallest i, then j) tie-break
-    # — the oracle's convention; the latched step t inside the kernel
-    # gives tau = t - band, i.e. earliest == smallest j per cell —
-    # reduced on device (the per-tile stacks would be a multi-hundred-MB
-    # fetch for giant pairs).
-    best = int(np.asarray(best))
-    if best <= 0:
-        return 0, 0, 0
-    return best, int(np.asarray(gi)), int(np.asarray(gj))
+    return dev.sw_end(0, dev.m, 0, dev.n)

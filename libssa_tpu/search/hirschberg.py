@@ -33,12 +33,11 @@ INF = int(2**60)
 # on the banded tile kernel (ops/mm_device.py) — ~50 GCUPS vs ~0.15 for
 # the NumPy pass; below it the dispatch round trip dominates. Tests
 # lower it (and set DEVICE_INTERPRET) to force the device path on CPU.
+# Round 4: the threshold gates (a) building the pair's device-resident
+# planes at all and (b) each recursion LEVEL (one dispatch per level;
+# a sub-threshold level's host passes beat a ~100 ms round trip).
 DEVICE_MIN_CELLS = 16 * 1024 * 1024
 DEVICE_INTERPRET = False
-
-# A pass that can JOIN a dispatch another pass already pays for only
-# needs to beat its own upload + host-prep cost, not a full round trip.
-DEVICE_JOIN_MIN_CELLS = 1 << 19
 
 # Subproblems at or below this many cells stop recursing and solve
 # directly with an O(m*n) direction-matrix fill (_ops_small). The deep
@@ -117,53 +116,21 @@ def _rev(x):
     return np.ascontiguousarray(x[::-1])
 
 
-def _run_passes(passes, cost, g, h):
-    """Resolve one recursion level's ``(q, s, tb)`` row passes.
+def _make_device_pair(q, s, sub, Q, R):
+    """Device-resident planes for the whole pair, or None.
 
-    Device-eligible passes go to ``mm_device.mm_pass_rows_batch`` — ONE
-    dispatch per shared tile plan for the whole level (1-3 plans is
-    typical: same-level subproblems share m to within one row). Groups
-    whose total cells don't justify a round trip come back ``None`` and
-    fall through to the host NumPy pass, as does anything below the
-    per-pass floor (``min(DEVICE_MIN_CELLS, DEVICE_JOIN_MIN_CELLS)`` —
-    joining an existing dispatch is nearly free, so the floor is far
-    below the go-it-alone threshold).
+    Built once per ``align_pair_linear`` call when the pair is device-
+    eligible (size, f32 window, bf16-exact matrix, Pallas available);
+    every SW end-cell sweep and every Myers-Miller divide LEVEL then
+    runs as one dispatch windowing into these planes (VERDICT r3
+    next-round #1 — round 3 re-packed and re-uploaded host arrays per
+    level plan group and fetched full row streams).
     """
-    sub = -cost
-    Q, R = g + h, h
-    results = [None] * len(passes)
-    floor = min(DEVICE_MIN_CELLS, DEVICE_JOIN_MIN_CELLS)
-    dev_idx = [
-        i
-        for i, (qq, ss, tbv) in enumerate(passes)
-        if tbv in (0, g)
-        and _device_ok(len(qq), len(ss), sub, Q, R, min_cells=floor)
-    ]
-    if dev_idx:
-        from ..ops.mm_device import mm_pass_rows_batch
+    if not _device_ok(len(q), len(s), sub, Q, R):
+        return None
+    from ..ops.mm_device import DevicePair
 
-        outs = mm_pass_rows_batch(
-            [(passes[i][0], passes[i][1], passes[i][2] == 0) for i in dev_idx],
-            _pad32(sub), Q, R,
-            interpret=DEVICE_INTERPRET,
-            min_group_cells=DEVICE_MIN_CELLS,
-        )
-        for i, o in zip(dev_idx, outs):
-            results[i] = o
-    for i, (qq, ss, tbv) in enumerate(passes):
-        if results[i] is None:
-            results[i] = _mm_pass(qq, ss, cost, g, h, tbv)
-    return results
-
-
-def _sw_end_any(q, s, sub, Q, R):
-    if _device_ok(len(q), len(s), sub, Q, R):
-        from ..ops.mm_device import sw_end_cell
-
-        return sw_end_cell(
-            q, s, _pad32(sub), Q, R, interpret=DEVICE_INTERPRET
-        )
-    return _score_end_sw(q, s, sub, Q, R)
+    return DevicePair(q, s, _pad32(sub), Q, R, interpret=DEVICE_INTERPRET)
 
 
 def _ops_small(q, s, cost, g, h, tb, te):
@@ -292,17 +259,19 @@ class _Node:
         self.tb, self.te = tb, te
 
 
-def _nw_ops(q, s, cost, g, h, tb, te):
+def _nw_ops(q, s, cost, g, h, tb, te, dev=None, q0=0, s0=0):
     """Myers-Miller -> ops list 'M'/'D'/'I' (D: query residue to gap,
     I: subject residue to gap).
 
-    Breadth-first frontier instead of depth-first recursion: all divide
-    passes of one level batch into as few device dispatches as tile
-    plans allow (``_run_passes``), and subproblems at or below
-    LEAF_CELLS solve directly with the direction-matrix fill — the two
-    moves that turn a 30k x 30k NW traceback from ~53k tiny host calls
-    + one dispatch per subproblem into ~5 levels of batched dispatches
-    plus a few dozen vectorized leaf fills.
+    Breadth-first frontier instead of depth-first recursion: ALL divide
+    passes of one level run as ONE device dispatch
+    (``DevicePair.divide_level`` — forward+reverse rows, t1/t2 combine,
+    and argmin on device; the fetch is 4 scalars per node), and
+    subproblems at or below LEAF_CELLS solve directly with the
+    direction-matrix fill. ``q0``/``s0``: this rectangle's offset in the
+    full pair (``dev`` windows are absolute). Levels below
+    DEVICE_MIN_CELLS run the host NumPy passes instead — cheaper than a
+    round trip.
     """
     items = [_Node(0, len(q), 0, len(s), tb, te)]
     while True:
@@ -327,27 +296,38 @@ def _nw_ops(q, s, cost, g, h, tb, te):
             else:
                 requests.append((i, nd))
         if requests:
-            passes = []
-            for i, nd in requests:
-                mid = (nd.qe - nd.qs) // 2
-                passes.append(
-                    (q[nd.qs : nd.qs + mid], s[nd.ss : nd.se], nd.tb)
+            splits = None
+            if dev is not None and sum(
+                (nd.qe - nd.qs) * (nd.se - nd.ss) for _, nd in requests
+            ) >= DEVICE_MIN_CELLS:
+                splits = dev.divide_level(
+                    [
+                        (q0 + nd.qs, q0 + nd.qe, s0 + nd.ss, s0 + nd.se,
+                         nd.tb == 0, nd.te == 0)
+                        for _, nd in requests
+                    ]
                 )
-                passes.append(
-                    (_rev(q[nd.qs + mid : nd.qe]), _rev(s[nd.ss : nd.se]),
-                     nd.te)
-                )
-            results = _run_passes(passes, cost, g, h)
-            for k, (i, nd) in enumerate(requests):
-                CCf, DDf = results[2 * k]
-                CCr, DDr = results[2 * k + 1]
-                CCr, DDr = _rev(CCr), _rev(DDr)
-                t1 = CCf + CCr  # crossing at (mid, j) in match/insert
-                t2 = DDf + DDr - g  # crossing inside one vertical gap
-                j1 = int(np.argmin(t1))
-                j2 = int(np.argmin(t2))
+            if splits is None:
+                splits = []
+                for _, nd in requests:
+                    mid = (nd.qe - nd.qs) // 2
+                    CCf, DDf = _mm_pass(
+                        q[nd.qs : nd.qs + mid], s[nd.ss : nd.se],
+                        cost, g, h, nd.tb,
+                    )
+                    CCr, DDr = _mm_pass(
+                        _rev(q[nd.qs + mid : nd.qe]),
+                        _rev(s[nd.ss : nd.se]), cost, g, h, nd.te,
+                    )
+                    CCr, DDr = _rev(CCr), _rev(DDr)
+                    t1 = CCf + CCr  # crossing at (mid, j), match/insert
+                    t2 = DDf + DDr - g  # crossing inside a vertical gap
+                    j1 = int(np.argmin(t1))
+                    j2 = int(np.argmin(t2))
+                    splits.append((j1, j2, int(t1[j1]), int(t2[j2])))
+            for (i, nd), (j1, j2, v1, v2) in zip(requests, splits):
                 mid = (nd.qe - nd.qs) // 2
-                if t1[j1] <= t2[j2]:
+                if v1 <= v2:
                     items[i] = [
                         _Node(nd.qs, nd.qs + mid, nd.ss, nd.ss + j1,
                               nd.tb, g),
@@ -442,17 +422,28 @@ def align_pair_linear(
         return Traceback(score, 0, m, 0, n, "D" * m + "I" * n)
     g, h = Q - R, R
     cost = -sub.astype(np.int64)
+    dev = _make_device_pair(q, s, sub, Q, R)
 
     if local:
-        score, ei, ej = _sw_end_any(q, s, sub, Q, R)
+        if dev is not None:
+            score, ei, ej = dev.sw_end(0, m, 0, n)
+        else:
+            score, ei, ej = _score_end_sw(q, s, sub, Q, R)
         if score == 0:
             return Traceback(0, 0, 0, 0, 0, "")
-        # Reverse pass over the prefix rectangle finds the start cell.
-        _, ri, rj = _sw_end_any(_rev(q[:ei]), _rev(s[:ej]), sub, Q, R)
+        # Reverse pass over the prefix rectangle finds the start cell
+        # (a window into the REVERSED planes: rev(q[:ei]) = rev-q rows
+        # [m-ei, m), same for the subject).
+        if dev is not None:
+            _, ri, rj = dev.sw_end(m - ei, ei, n - ej, ej, reverse=True)
+        else:
+            _, ri, rj = _score_end_sw(_rev(q[:ei]), _rev(s[:ej]), sub, Q, R)
         si, sj = ei - ri, ej - rj  # 0-based start
-        ops = _nw_ops(q[si:ei], s[sj:ej], cost, g, h, g, g)
+        ops = _nw_ops(
+            q[si:ei], s[sj:ej], cost, g, h, g, g, dev=dev, q0=si, s0=sj
+        )
         return Traceback(score, si, ei, sj, ej, "".join(ops))
-    ops = _nw_ops(q, s, cost, g, h, g, g)
+    ops = _nw_ops(q, s, cost, g, h, g, g, dev=dev)
     # The optimal score is the optimal path's score: evaluate the ops in
     # O(m+n) instead of re-running a whole O(m*n) forward pass (which was
     # +33-50% wall time on every huge-pair global alignment) just to read

@@ -9,8 +9,8 @@ import pytest
 
 from libssa_tpu import matrices, oracle
 from libssa_tpu.ops.mm_device import (
+    DevicePair,
     mm_pass_rows,
-    mm_pass_rows_pair,
     sw_end_cell,
 )
 from libssa_tpu.search import hirschberg as hb
@@ -35,84 +35,84 @@ def test_mm_pass_rows_matches_host(m, n, tb0):
     np.testing.assert_array_equal(DD, wDD)
 
 
-@pytest.mark.parametrize("tbs", [(False, False), (True, False), (False, True)])
-def test_mm_pass_rows_pair_matches_singles(tbs):
-    """One-dispatch divide level == two independent passes, bit-exact."""
-    rng = np.random.default_rng(sum(tbs) + 11)
-    m, n = 601, 240
-    mid = m // 2
+@pytest.mark.parametrize("m,n,qs,ss", [(500, 400, 37, 91), (260, 600, 100, 0)])
+@pytest.mark.parametrize("tb0", [False, True], ids=["tb=g", "tb=0"])
+def test_windowed_pass_matches_host(m, n, qs, ss, tb0):
+    """A traced (offset, m, n) window into the resident planes == the
+    host pass on the sliced arrays — forward AND reversed planes."""
+    rng = np.random.default_rng(m + qs + (1 if tb0 else 0))
     q = rng.integers(0, 20, m).astype(np.intp)
     s = rng.integers(0, 20, n).astype(np.intp)
-    qf, qr = q[:mid], q[mid:][::-1].copy()
-    sr = s[::-1].copy()
-    out = mm_pass_rows_pair(
-        qf, s, tbs[0], qr, sr, tbs[1], B62.padded(), Q, R,
-        RB=256, WC=256, interpret=True,
+    dev = DevicePair(q, s, B62.padded(), Q, R, interpret=True, RB=256, WC=256)
+    mi, ni = 150, 200
+    CC, DD = dev.mm_pass(qs, mi, ss, ni, tb0)
+    wCC, wDD = hb._mm_pass(
+        q[qs : qs + mi], s[ss : ss + ni], COST, G, H, 0 if tb0 else G
     )
-    assert out is not None, "equal-n halves must share a tile plan"
-    for (CC, DD), (qq, ss, tb0) in zip(out, ((qf, s, tbs[0]), (qr, sr, tbs[1]))):
-        wCC, wDD = mm_pass_rows(
-            qq, ss, B62.padded(), Q, R, tb0, RB=256, WC=256, interpret=True
-        )
-        np.testing.assert_array_equal(CC, wCC)
-        np.testing.assert_array_equal(DD, wDD)
-
-
-def test_mm_pass_rows_pair_plan_mismatch_falls_back():
-    """Halves that cross a tile boundary (interpret plan differs by m)
-    return None -> the recursion falls back to two single passes."""
-    rng = np.random.default_rng(3)
-    q1 = rng.integers(0, 20, 250).astype(np.intp)   # RB snaps to 256
-    q2 = rng.integers(0, 20, 300).astype(np.intp)   # RB snaps to 512
-    s = rng.integers(0, 20, 200).astype(np.intp)
-    out = mm_pass_rows_pair(
-        q1, s, False, q2, s[::-1].copy(), False, B62.padded(), Q, R,
-        RB=256, WC=256, interpret=True,
+    np.testing.assert_array_equal(CC, wCC)
+    np.testing.assert_array_equal(DD, wDD)
+    # Reversed planes: window (m-qe, mi) == host pass on rev slices.
+    CCr, DDr = dev.mm_pass(m - (qs + mi), mi, n - (ss + ni), ni, tb0,
+                           reverse=True)
+    wCCr, wDDr = hb._mm_pass(
+        q[qs : qs + mi][::-1].copy(), s[ss : ss + ni][::-1].copy(),
+        COST, G, H, 0 if tb0 else G,
     )
-    assert out is None
+    np.testing.assert_array_equal(CCr, wCCr)
+    np.testing.assert_array_equal(DDr, wDDr)
 
 
-def test_mm_pass_rows_batch_matches_singles(monkeypatch):
-    """A whole recursion level in batched dispatches: bit-exact vs the
-    single-problem path, one jitted call per tile plan, and a
-    below-threshold group falls back to None."""
-    from libssa_tpu.ops import mm_device
-
-    rng = np.random.default_rng(21)
-    s = rng.integers(0, 20, 260).astype(np.intp)
-    sr = s[::-1].copy()
-    probs = [
-        (rng.integers(0, 20, 240).astype(np.intp), s, False),
-        (rng.integers(0, 20, 241).astype(np.intp), sr, True),
-        (rng.integers(0, 20, 240).astype(np.intp), s, True),
-        # A different plan (RB snaps higher in interpret mode):
-        (rng.integers(0, 20, 300).astype(np.intp), s, False),
+@pytest.mark.parametrize(
+    "tbs", [(False, False), (True, False), (False, True)]
+)
+def test_divide_level_matches_host(tbs):
+    """One-dispatch divide LEVEL (mixed node sizes, padded node count) ==
+    the host t1/t2 argmin splits, node by node."""
+    rng = np.random.default_rng(sum(tbs) + 11)
+    m, n = 601, 240
+    q = rng.integers(0, 20, m).astype(np.intp)
+    s = rng.integers(0, 20, n).astype(np.intp)
+    dev = DevicePair(q, s, B62.padded(), Q, R, interpret=True, RB=256, WC=256)
+    # Three nodes of deliberately different sizes (pads the map to 4).
+    nodes = [
+        (0, 301, 0, 120, tbs[0], tbs[1]),
+        (301, 601, 120, 240, tbs[1], tbs[0]),
+        (10, 120, 5, 230, False, False),
     ]
-    calls = []
-    real = mm_device._rows_score_pair
-
-    def counted(*a, **k):
-        calls.append(a[0].shape[0])
-        return real(*a, **k)
-
-    monkeypatch.setattr(mm_device, "_rows_score_pair", counted)
-    out = mm_device.mm_pass_rows_batch(
-        probs, B62.padded(), Q, R, RB=256, WC=256, interpret=True
-    )
-    # Two plans -> two dispatches; the 3-problem group pads to 4.
-    assert sorted(calls) == [1, 4]
-    for (CC, DD), (qq, ss, tb0) in zip(out, probs):
-        wCC, wDD = mm_pass_rows(
-            qq, ss, B62.padded(), Q, R, tb0, RB=256, WC=256, interpret=True
+    got = dev.divide_level(nodes)
+    assert dev.dispatches == 1
+    for (qs, qe, ss, se, f0, r0), (j1, j2, v1, v2) in zip(nodes, got):
+        mid = (qe - qs) // 2
+        CCf, DDf = hb._mm_pass(
+            q[qs : qs + mid], s[ss:se], COST, G, H, 0 if f0 else G
         )
-        np.testing.assert_array_equal(CC, wCC)
-        np.testing.assert_array_equal(DD, wDD)
-    # min_group_cells above every group total -> all None (host fallback).
-    out2 = mm_device.mm_pass_rows_batch(
-        probs, B62.padded(), Q, R, RB=256, WC=256, interpret=True,
-        min_group_cells=1 << 40,
+        CCr, DDr = hb._mm_pass(
+            q[qs + mid : qe][::-1].copy(), s[ss:se][::-1].copy(),
+            COST, G, H, 0 if r0 else G,
+        )
+        CCr, DDr = CCr[::-1], DDr[::-1]
+        t1 = CCf + CCr
+        t2 = DDf + DDr - G
+        assert (j1, v1) == (int(np.argmin(t1)), int(t1.min()))
+        assert (j2, v2) == (int(np.argmin(t2)), int(t2.min()))
+
+
+def test_sw_end_windowed_matches_host():
+    """Windowed SW end cells (the reverse-prefix pass of a local
+    alignment) == the host scan on the sliced arrays."""
+    rng = np.random.default_rng(40)
+    q = rng.integers(0, 20, 420).astype(np.intp)
+    s = rng.integers(0, 20, 350).astype(np.intp)
+    dev = DevicePair(q, s, B62.padded(), Q, R, interpret=True, RB=256, WC=256)
+    assert dev.sw_end(0, len(q), 0, len(s)) == hb._score_end_sw(
+        q, s, B62.scores, Q, R
     )
-    assert out2 == [None] * len(probs)
+    ei, ej = 333, 290
+    got = dev.sw_end(len(q) - ei, ei, len(s) - ej, ej, reverse=True)
+    want = hb._score_end_sw(
+        q[:ei][::-1].copy(), s[:ej][::-1].copy(), B62.scores, Q, R
+    )
+    assert got == want
 
 
 @pytest.mark.parametrize("m,n", [(50, 80), (300, 300), (430, 190)])
