@@ -248,6 +248,22 @@ def _ops_m1(q, s, cost, g, h, tb, te):
     return ["I"] * best_j + ["M"] + ["I"] * (n - best_j - 1)
 
 
+def _ops_leaf(q, s, cost, g, h, tb, te):
+    """Leaf solve: the native C++ fill when built, else ``_ops_small``.
+
+    Identical outputs by construction (same recurrences, tie-breaks, and
+    boundary contract — differential-tested); the native path exists
+    because the NumPy fill's per-row interpreter overhead dominated the
+    huge-pair warm traceback (experiments/r4_mm_profile.py).
+    """
+    from .leafnative import leaf_ops_native
+
+    ops = leaf_ops_native(q, s, cost, g, h, tb, te)
+    if ops is not None:
+        return ops
+    return _ops_small(q, s, cost, g, h, tb, te)
+
+
 class _Node:
     """A pending Myers-Miller subproblem: q[qs:qe] vs s[ss:se] with
     boundary opens (tb, te)."""
@@ -290,7 +306,7 @@ def _nw_ops(q, s, cost, g, h, tb, te, dev=None, q0=0, s0=0):
             elif m == 0:
                 items[i] = ["I"] * n
             elif m > 1 and m * n <= LEAF_CELLS:
-                items[i] = _ops_small(qq, ss_, cost, g, h, nd.tb, nd.te)
+                items[i] = _ops_leaf(qq, ss_, cost, g, h, nd.tb, nd.te)
             elif m == 1:
                 items[i] = _ops_m1(qq, ss_, cost, g, h, nd.tb, nd.te)
             else:

@@ -1,9 +1,10 @@
-"""Build hook: compile the native C++ FASTA packer into the package.
+"""Build hook: compile the native C++ components into the package.
 
-The engine is pure Python/JAX; ``native/fastadb.cpp`` is an optional
-throughput optimization for database ingestion (see io/native.py — the
-pure-Python parser in io/fasta.py is the correctness path). If no C++
-toolchain is available the build proceeds without the shared library.
+The engine is pure Python/JAX; ``native/fastadb.cpp`` (FASTA ingestion)
+and ``native/leafalign.cpp`` (Myers-Miller leaf solver) are throughput
+optimizations with pure-Python correctness paths (io/fasta.py,
+search/hirschberg._ops_small). If no C++ toolchain is available the
+build proceeds without the shared libraries.
 """
 from __future__ import annotations
 
@@ -19,15 +20,15 @@ class BuildWithNative(build_py):
     def run(self):
         root = os.path.dirname(os.path.abspath(__file__))
         native = os.path.join(root, "native")
-        so = os.path.join(native, "libfastadb.so")
         if os.path.isdir(native) and shutil.which("make") and shutil.which("g++"):
             try:
                 subprocess.run(["make", "-C", native], check=True)
             except subprocess.CalledProcessError:
-                print("warning: native build failed; installing without libfastadb.so")
-        if os.path.exists(so):
-            dest = os.path.join(root, "libssa_tpu", "io", "libfastadb.so")
-            shutil.copy2(so, dest)
+                print("warning: native build failed; installing without .so libs")
+        for name in ("libfastadb.so", "libleafalign.so"):
+            so = os.path.join(native, name)
+            if os.path.exists(so):
+                shutil.copy2(so, os.path.join(root, "libssa_tpu", "io", name))
         super().run()
 
 

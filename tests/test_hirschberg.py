@@ -117,3 +117,38 @@ def test_empty_and_edge():
     )
     assert one.score == B62.scores[5, 5]
     assert one.cigar == "M"
+
+
+def test_leaf_native_matches_python():
+    """native/leafalign.cpp == _ops_small: same ops, every (tb, te)
+    boundary-contract combo, random and tie-heavy inputs."""
+    import itertools
+
+    import pytest
+
+    from libssa_tpu.search import hirschberg as hb
+    from libssa_tpu.search.leafnative import leaf_ops_native, native_available
+
+    if not native_available():
+        pytest.skip("libleafalign.so not built (make -C native)")
+    cost = -B62.scores.astype(np.int64)
+    Q, R = oracle.gap_qr(10, 1)
+    g, h = Q - R, R
+    rng = np.random.default_rng(7)
+    cases = []
+    for _ in range(60):
+        m = int(rng.integers(2, 70))
+        n = int(rng.integers(1, 70))
+        cases.append(
+            (
+                rng.integers(0, 20, m).astype(np.intp),
+                rng.integers(0, 20, n).astype(np.intp),
+            )
+        )
+    motif = np.array([12, 4, 9, 1], np.intp)
+    cases.append((np.tile(motif, 30), np.tile(motif, 35)))  # tie-heavy
+    for q, s in cases:
+        for tb, te in itertools.product((0, g), (0, g)):
+            got = leaf_ops_native(q, s, cost, g, h, tb, te)
+            want = hb._ops_small(q, s, cost, g, h, tb, te)
+            assert got == want, (len(q), len(s), tb, te)
