@@ -598,12 +598,16 @@ class SSAContext:
         k: int = 10,
         mode: ComputeMode = ComputeMode.SCORE,
         align_type: AlignType = AlignType.SW,
+        bit_width: BitWidth = BitWidth.EXACT,
     ) -> list[AlignmentList]:
         """Batched multi-query search: one device sweep for all queries.
 
         Plain (untranslated, forward-strand) searches ride the engine's
         single-dispatch multi-query sweep; anything needing per-query
         strand/frame fan-out falls back to per-query ``_align`` calls.
+        A narrow ``bit_width`` runs the faithful ladder surface on the
+        batched sweep too (r4): real rescored rung statistics in the
+        batch-level stats, hit lists bit-identical to EXACT.
         """
         engine = self._get_engine()
         local = align_type is AlignType.SW
@@ -613,7 +617,7 @@ class SSAContext:
         )
         if not simple:
             return [
-                self._align(q, k, BitWidth.EXACT, mode, align_type)
+                self._align(q, k, bit_width, mode, align_type)
                 for q in queries
             ]
         # One SearchStats for the whole batch: the sweep is a single device
@@ -622,7 +626,7 @@ class SSAContext:
         # CLI reports it once, not per query).
         stats = SearchStats()
         hitlists = engine.search_many(
-            [q.sequences[0][1] for q in queries], k, local, stats
+            [q.sequences[0][1] for q in queries], k, local, stats, bit_width
         )
         out = []
         for q, (top_s, top_i) in zip(queries, hitlists):

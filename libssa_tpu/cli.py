@@ -131,17 +131,13 @@ def cmd_search(args) -> int:
     mode = ComputeMode.ALIGNMENT if args.align else ComputeMode.SCORE
 
     if args.all_queries:
-        if args.bit_width:
-            print(
-                "warning: --bit-width is ignored with --all-queries "
-                "(the batched sweep always runs the exact path)",
-                file=sys.stderr,
-            )
         queries = ctx.init_sequences_fasta(args.query)
         atype = AlignType.SW if args.algo == "sw" else AlignType.NW
         t0 = time.perf_counter()
         with trace(getattr(args, "xprof", None)):
-            lists = ctx.align_many(queries, k=args.k, mode=mode, align_type=atype)
+            lists = ctx.align_many(
+                queries, k=args.k, mode=mode, align_type=atype, bit_width=bw
+            )
         dt = time.perf_counter() - t0
         if args.json:
             # Stats are batch-level (one device sweep serves every query),

@@ -544,3 +544,35 @@ def test_align_pair_score_only(tmp_path):
         want = fn(qc, sc, B62.scores, 10, 1)
         assert score.score == full.score == want
         assert score.cigar is None  # no traceback computed
+
+
+def test_align_many_bit_width_faithful(tmp_path):
+    """align_many honors narrow bit widths on the batched sweep (r4):
+    rung stats in the batch-level stats, hits bit-identical to EXACT."""
+    from libssa_tpu.constants import BitWidth
+
+    c = SSAContext()
+    c.init_symbol_translation(SymType.AMINOACID)
+    c.init_score_matrix("BLOSUM62")
+    c.init_gap_penalties(10, 1)
+    rng = np.random.default_rng(9)
+    recs = [
+        (f"p{i}", alphabet.decode(
+            rng.integers(0, 20, 120).astype(np.uint8), SymType.AMINOACID))
+        for i in range(10)
+    ]
+    db_path = tmp_path / "aa.fas"
+    fasta.write_fasta(str(db_path), recs)
+    c.init_db_fasta(str(db_path))
+    # Queries include a DB copy: a 120-residue self-match scores >= 480
+    # (min BLOSUM62 diagonal 4) > 255 -> a genuine 8-bit window escape.
+    queries = [c.init_sequence_fasta(recs[2][1]),
+               c.init_sequence_fasta(recs[7][1])]
+    want = c.align_many(queries, k=4)
+    got = c.align_many(queries, k=4, bit_width=BitWidth.BIT8)
+    for w, g in zip(want, got):
+        assert [(h.score, h.seq_id) for h in g] == [
+            (h.score, h.seq_id) for h in w
+        ]
+    assert got[0].stats.rescored.get("limit>255", 0) >= 2
+    assert not want[0].stats.rescored
