@@ -106,6 +106,41 @@ def _check_translated(trng, checked):
         checked["translated"] = checked.get("translated", 0) + 1
 
 
+def _check_fanout_narrow(trng, checked):
+    """Fan-out (BOTH-strand) search with a narrow bit width == EXACT.
+
+    r4: narrow widths run the faithful ladder surface on the reduced
+    fan-out path (rung stats recorded, recompute elided inside the f32
+    window) — hit lists must stay bit-identical to the exact pass."""
+    from libssa_tpu import alphabet
+    from libssa_tpu.api import SSAContext
+    from libssa_tpu.constants import BitWidth, Strand, SymType
+
+    go, ge = int(trng.integers(2, 14)), int(trng.integers(1, 4))
+    n_rec = int(trng.integers(2, 20))
+    db = [
+        "".join(trng.choice(list("ACGT"), int(trng.integers(5, 200))))
+        for _ in range(n_rec)
+    ]
+    ctx = SSAContext()
+    ctx.init_symbol_translation(SymType.NUCLEOTIDE, Strand.BOTH)
+    ctx.init_constant_scoring(
+        int(trng.integers(1, 8)), -int(trng.integers(1, 8))
+    )
+    ctx.init_gap_penalties(go, ge)
+    ctx.init_db_fasta("".join(f">r{i}\n{s}\n" for i, s in enumerate(db)))
+    # Query = a DB record (self-match can overflow the 8-bit window).
+    query = ctx.init_sequence_fasta(db[int(trng.integers(0, n_rec))])
+    k = min(n_rec, int(trng.integers(1, 8)))
+    want = ctx.sw_align(query, k=k)
+    bw = BitWidth.BIT8 if trng.integers(0, 2) else BitWidth.BIT16
+    got = ctx.sw_align(query, k=k, bit_width=bw)
+    assert [(h.score, h.seq_id, h.strand) for h in got] == [
+        (h.score, h.seq_id, h.strand) for h in want
+    ], f"fanout narrow {bw}"
+    checked["fanout_narrow"] = checked.get("fanout_narrow", 0) + 1
+
+
 def run_soak(trials: int, seed: int) -> dict:
     from libssa_tpu import matrices, oracle
     from libssa_tpu.constants import BitWidth, SymType
@@ -224,6 +259,34 @@ def run_soak(trials: int, seed: int) -> dict:
                 ps = _path_score(q, seqs[sid], tb, mat.scores, go, ge)
                 assert ps == want[sid], f"trial {trial}: hirschberg path"
             checked["hirschberg"] = checked.get("hirschberg", 0) + 1
+
+        if trial % 7 == 3:
+            # Same Myers-Miller, DEVICE path forced (DevicePair windows +
+            # one-dispatch divide levels, interpret mode off-TPU).
+            from libssa_tpu.search import hirschberg as hb
+
+            saved = (hb.DEVICE_MIN_CELLS, hb.DEVICE_INTERPRET, hb.LEAF_CELLS)
+            try:
+                import jax as _jax
+
+                if _jax.default_backend() != "tpu":
+                    hb.DEVICE_INTERPRET = True
+                hb.DEVICE_MIN_CELLS = 2048
+                hb.LEAF_CELLS = 512
+                sid = int(trng.integers(0, n_seqs))
+                tb = hb.align_pair_linear(
+                    q, seqs[sid], mat.scores, go, ge, local
+                )
+                assert tb.score == want[sid], f"trial {trial}: dev hirschberg"
+                if tb.cigar:
+                    ps = _path_score(q, seqs[sid], tb, mat.scores, go, ge)
+                    assert ps == want[sid], f"trial {trial}: dev hb path"
+                checked["hirschberg_dev"] = checked.get("hirschberg_dev", 0) + 1
+            finally:
+                hb.DEVICE_MIN_CELLS, hb.DEVICE_INTERPRET, hb.LEAF_CELLS = saved
+
+        if trial % 11 == 0:
+            _check_fanout_narrow(trng, checked)
 
         if trial % 8 == 0 and len(q) and len(seqs[0]):
             from libssa_tpu.parallel.ring import ring_score
