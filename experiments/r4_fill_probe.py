@@ -14,7 +14,6 @@ sys.path.insert(0, "/root/repo")
 import numpy as np
 
 from libssa_tpu.constants import SymType
-from libssa_tpu.io import db as dbm
 from libssa_tpu.io.db import SequenceDB
 
 
@@ -23,10 +22,8 @@ def simulate(db, batch_size, min_lanes):
     padded = 0
     windows = 0
     shapes = set()
-    orig = dbm.SequenceDB._windows
-    # Patch MIN_LANES by re-running the generator with a tweak: the
-    # constant lives inline, so re-implement the window walk with the
-    # knob exposed.
+    # MIN_LANES lives inline in SequenceDB._windows, so re-implement the
+    # window walk with the knob exposed.
     order = db._order
     buckets = np.array(
         [db._bucket_length(int(L), 64, True) for L in db.lengths[order]],

@@ -4,6 +4,10 @@ Wraps DevicePair.divide_level / .sw_end, hirschberg._mm_pass (host
 levels) and hirschberg._ops_small (leaf fills) with counters to see
 where the warm NW seconds go after the device-resident restructure.
 
+Supersedes r3_mm_profile.py (which wrapped the r3 host-packed batch
+API removed in round 4; its measurements remain recorded in
+docs/PERF_NOTES.md and BENCH_RESULTS.md r3 sections).
+
 Usage: /opt/venv/bin/python experiments/r4_mm_profile.py [--m 30000]
        [--mode nw] [--leaf N] [--minc N]
 """

@@ -643,13 +643,18 @@ class ShardedSearchEngine:
 
         def _requeue(ids):
             # Chunk re-queue on the fallback engine (SURVEY.md §5 failure
-            # detection: shards are independently restartable).
+            # detection: shards are independently restartable). Temp
+            # stats folded without work/seconds: the outer blanket
+            # accounting charges each subject once and the wall-clock
+            # interval already contains the re-run (SearchStats.merge).
             self.requeued_chunks += 1
             valid = ids >= 0
             sub = self.db.subset(ids[valid].astype(np.int32))
+            rq = SearchStats()
             r = self._fallback.__class__(
                 sub, self.matrix, self.gap_open, self.gap_extend, self.params
-            ).score_all(q_codes, local, BitWidth.EXACT, stats)
+            ).score_all(q_codes, local, BitWidth.EXACT, rq)
+            stats.merge(rq)
             all_s.append(r.astype(np.int64))
             all_i.append(ids[valid].astype(np.int32))
 
@@ -777,9 +782,11 @@ class ShardedSearchEngine:
             # BIT8 search rescored the whole DB on the single-device
             # fallback, defeating the mesh.
             sub = self.db.subset(over)
+            rescue_stats = SearchStats()
             rescored = self._fallback.__class__(
                 sub, self.matrix, self.gap_open, self.gap_extend, self.params
-            ).score_all(q_codes, local, BitWidth.EXACT, stats)
+            ).score_all(q_codes, local, BitWidth.EXACT, rescue_stats)
+            stats.merge(rescue_stats, work=True)  # genuine extra work
             scores = np.concatenate([scores, rescored])
             ids = np.concatenate([ids, over])
             # A rescored subject may also appear in the sweep's top-k with
@@ -957,10 +964,16 @@ class ShardedSearchEngine:
         eng = self._fallback.__class__(
             sub, self.matrix, self.gap_open, self.gap_extend, self.params
         )
+        # Temp stats folded without work/seconds (SearchStats.merge):
+        # the caller's blanket accounting charges these entries once.
+        from ..search.manager import SearchStats
+
+        rq = SearchStats()
         got = eng.search_reduced(
-            frames, group_sub, k, local, stats,
-            bit_width or BitWidth.EXACT,
+            frames, group_sub, k, local, rq, bit_width or BitWidth.EXACT
         )
+        if stats is not None:
+            stats.merge(rq)
         if got is None:
             return None
         s, r, e, f = got
@@ -1112,10 +1125,12 @@ class ShardedSearchEngine:
                         sub, self.matrix, self.gap_open,
                         self.gap_extend, self.params,
                     )
+                    rq = SearchStats()
                     res = eng.search_many(
-                        [queries[qi] for qi in qis], k, local, stats,
+                        [queries[qi] for qi in qis], k, local, rq,
                         bit_width or BitWidth.EXACT,
                     )
+                    stats.merge(rq)  # requeue: round trips + rungs only
                     for qi, (s_r, i_r) in zip(qis, res):
                         per_query_s[qi].append(np.asarray(s_r, np.int64))
                         per_query_i[qi].append(valid[i_r].astype(np.int64))
@@ -1172,10 +1187,14 @@ class ShardedSearchEngine:
         for qi in range(len(queries)):
             if qi in overflowed:
                 # f32-window escapee (needs |score| >= 2^24): exact int32
-                # full-score fallback on the single-device engine.
+                # full-score fallback on the single-device engine
+                # (genuine extra work -> merged with work=True; seconds
+                # stay with the outer interval).
+                rescue_stats = SearchStats()
                 scores = self._fallback.score_all_many(
-                    [queries[qi]], local, stats
+                    [queries[qi]], local, rescue_stats
                 )[0]
+                stats.merge(rescue_stats, work=True)
                 out.append(host_topk(scores, np.arange(len(scores)), k))
                 continue
             s = np.concatenate(per_query_s[qi])

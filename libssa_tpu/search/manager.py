@@ -88,6 +88,28 @@ class SearchStats:
     def gcups(self) -> float:
         return self.cells / self.seconds / 1e9 if self.seconds > 0 else 0.0
 
+    def merge(self, other: "SearchStats", work: bool = False) -> None:
+        """Fold a nested engine run's accounting into this sweep's stats.
+
+        Rescue/re-queue paths run a second engine with a TEMP stats
+        object and fold it here instead of passing ``self`` through —
+        the outer sweep's wall-clock interval already contains the
+        nested run, so adding the nested ``seconds`` would double-count
+        time (deflating gcups). Round trips and rung statistics always
+        carry over; ``work=True`` additionally carries cells/subjects
+        (genuine EXTRA work, e.g. an overflow rescore), while re-queues
+        leave them off (the outer blanket accounting already charges
+        each subject once).
+        """
+        if work:
+            self.cells += other.cells
+            self.subjects += other.subjects
+        self.dispatches += other.dispatches
+        self.fetches += other.fetches
+        for k, v in other.rescored.items():
+            self.rescored[k] = self.rescored.get(k, 0) + v
+        self.notes.extend(other.notes)
+
 
 def _rungs(bit_width: BitWidth, dtype: str):
     """Ladder of (limit, dtype) stages ending in an exact int32 pass.
@@ -422,9 +444,11 @@ class SearchEngine:
             sub_bw = (
                 BitWidth.BIT16 if bit_width == BitWidth.BIT8 else BitWidth.EXACT
             )
+            rescue_stats = SearchStats()
             r = SearchEngine(
                 sub, self.matrix, self.gap_open, self.gap_extend, p
-            ).score_all(q_codes, local, sub_bw, stats)
+            ).score_all(q_codes, local, sub_bw, rescue_stats)
+            stats.merge(rescue_stats, work=True)
             pos = np.full(len(self.db), -1, dtype=np.int64)
             valid = flat_ids >= 0
             pos[flat_ids[valid]] = np.nonzero(valid)[0]
