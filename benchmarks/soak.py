@@ -141,6 +141,48 @@ def _check_fanout_narrow(trng, checked):
     checked["fanout_narrow"] = checked.get("fanout_narrow", 0) + 1
 
 
+def _check_beyond_int32(trng, checked):
+    """Scores int32 cannot hold: the r4 TRUE 64-bit device lane.
+
+    A match=2**26..2**28 constant matrix and a planted self-hit push the
+    optimal score past 2**31. Both the direct BIT64 pass and the EXACT
+    ladder (f32 rung -> saturated range flag -> int64 terminal rescore)
+    must reproduce the int64 oracle exactly."""
+    from libssa_tpu import matrices, oracle
+    from libssa_tpu.constants import BitWidth, SymType
+    from libssa_tpu.io.db import SequenceDB
+    from libssa_tpu.search.manager import SearchEngine, SearchParams
+
+    # Shapes are pinned to ONE compile (query height 64, subjects <= 64,
+    # one 8-lane chunk): the s64 scan kernel costs ~7 min to cold-compile
+    # through the TPU remote-compile tunnel (PERF_NOTES r4 "int64 lane"),
+    # so the class must reuse a single persistently-cached compilation.
+    match = 2 ** int(trng.integers(26, 29))
+    mat = matrices.constant_scoring(match, -int(trng.integers(1, 9)))
+    go, ge = int(trng.integers(1, 15)), int(trng.integers(1, 4))
+    n = int(trng.integers(2, 9))
+    seqs = [
+        trng.integers(0, 4, int(trng.integers(2, 60))).astype(np.uint8)
+        for _ in range(n)
+    ]
+    q = trng.integers(0, 4, int(trng.integers(33, 65))).astype(np.uint8)
+    seqs[0] = np.tile(q, 2)[:60]
+    db = SequenceDB.from_sequences(
+        [f"s{i}" for i in range(n)], seqs, SymType.NUCLEOTIDE
+    )
+    local = bool(trng.integers(0, 2))
+    fn = oracle.sw_score if local else oracle.nw_score
+    want = np.array([fn(q, s, mat.scores, go, ge) for s in seqs])
+    assert want.max() > 2**31, "trial must exceed int32"
+    eng = SearchEngine(db, mat, go, ge, SearchParams(batch_size=8))
+    for bw in (BitWidth.BIT64, BitWidth.EXACT):
+        got = eng.score_all(q, local, bw)
+        assert np.array_equal(got, want), (
+            f"beyond-int32 {bw} local={local}\n{got}\n{want}"
+        )
+    checked["beyond_int32"] = checked.get("beyond_int32", 0) + 2 * n
+
+
 def run_soak(trials: int, seed: int) -> dict:
     from libssa_tpu import matrices, oracle
     from libssa_tpu.constants import BitWidth, SymType
@@ -151,7 +193,11 @@ def run_soak(trials: int, seed: int) -> dict:
 
     rng = np.random.default_rng(seed)
     builtins = ["BLOSUM45", "BLOSUM62", "BLOSUM80", "PAM70", "PAM250"]
-    widths = [BitWidth.BIT8, BitWidth.BIT16, BitWidth.BIT64, BitWidth.EXACT]
+    # BIT64 is exercised by the dedicated fixed-shape beyond-int32 class,
+    # not the per-trial draw: since r4 it runs the TRUE s64 device lane,
+    # whose scan kernel cold-compiles in ~7 min per shape on TPU — random
+    # shapes here would turn the soak into a compile marathon.
+    widths = [BitWidth.BIT8, BitWidth.BIT16, BitWidth.EXACT]
     mesh = make_db_mesh()
     checked = {"scores": 0, "tracebacks": 0, "sharded": 0, "multi": 0}
 
@@ -287,6 +333,9 @@ def run_soak(trials: int, seed: int) -> dict:
 
         if trial % 11 == 0:
             _check_fanout_narrow(trng, checked)
+
+        if trial % 13 == 5:
+            _check_beyond_int32(trng, checked)
 
         if trial % 8 == 0 and len(q) and len(seqs[0]):
             from libssa_tpu.parallel.ring import ring_score

@@ -105,7 +105,13 @@ def interseq_scores(
     represents integers exactly up to 2**24, far above any realistic
     alignment score (the manager guards the window and falls back to the
     int64 oracle otherwise). f32 is markedly faster to compile and run on
-    TPU, whose VPU/MXU are float-first.
+    TPU, whose VPU/MXU are float-first. jnp.int64 runs the TRUE 64-bit
+    device lane (SURVEY.md §2 P4 [DRIVER]: the reference keeps a 64-bit
+    rung even where 32 bits suffice): XLA legalizes s64 on TPU via
+    32-bit-pair emulation (probe: experiments/r4_int64_probe.py). The
+    caller must trace/dispatch under ``jax.enable_x64(True)``; the
+    one-hot MXU gather is forced off (s64 never rides the MXU) and the
+    returned scores stay int64.
 
     ``m_real``: true query length when the caller padded the profile with
     large-negative rows so compilations are shared across query lengths
@@ -127,12 +133,19 @@ def interseq_scores(
     n_pad, B = subjects_T.shape
     # Codes fit int8; callers ship them narrow to cut transfer bytes 4x.
     subjects_T = subjects_T.astype(jnp.int32)
+    if dtype == jnp.int64:
+        use_matmul = False  # s64 never rides the MXU; take-gather instead
     Q = gap_q.astype(dtype)
     R = gap_r.astype(dtype)
     profile_i32 = profile.astype(dtype)
     profile_i8 = profile.astype(jnp.int8 if dtype == jnp.int32 else dtype)
 
-    neg = jnp.asarray(-(2**30) if dtype == jnp.int32 else -(2.0**24), dtype)
+    neg = jnp.asarray(
+        {jnp.dtype(jnp.int32): -(2**30), jnp.dtype(jnp.int64): -(2**62)}.get(
+            jnp.dtype(dtype), -(2.0**24)
+        ),
+        dtype,
+    )
 
     # k*R offsets for the F cummax trick, rows 0..m of the extended column.
     kR = jax.lax.broadcasted_iota(jnp.int32, (m + 1, 1), 0).astype(dtype) * R
@@ -217,10 +230,11 @@ def interseq_scores(
     scores = best if local else nw
     if not track_range:
         hi, lo = scores, jnp.zeros_like(scores)
+    out_t = jnp.int64 if dtype == jnp.int64 else jnp.int32
     return (
-        scores.astype(jnp.int32),
-        hi.astype(jnp.int32),
-        lo.astype(jnp.int32),
+        scores.astype(out_t),
+        hi.astype(out_t),
+        lo.astype(out_t),
     )
 
 
@@ -253,18 +267,24 @@ def batch_scores_oracle_layout(
     m_real: int | None = None,
 ):
     """Convenience host wrapper: (B, n_pad) chunk -> per-lane scores."""
-    scores, hi, lo = interseq_scores(
-        jnp.asarray(profile, jnp.int32),
-        jnp.asarray(chunk_codes.T, jnp.int32),
-        jnp.asarray(lengths, jnp.int32),
-        jnp.int32(gap_q),
-        jnp.int32(gap_r),
-        local=local,
-        use_matmul=use_matmul,
-        track_range=track_range,
-        dtype=dtype,
-        m_real=m_real,
+    import contextlib
+
+    x64 = (
+        jax.enable_x64(True) if dtype == jnp.int64 else contextlib.nullcontext()
     )
+    with x64:
+        scores, hi, lo = interseq_scores(
+            jnp.asarray(profile, jnp.int32),
+            jnp.asarray(chunk_codes.T, jnp.int32),
+            jnp.asarray(lengths, jnp.int32),
+            jnp.int32(gap_q),
+            jnp.int32(gap_r),
+            local=local,
+            use_matmul=use_matmul,
+            track_range=track_range,
+            dtype=dtype,
+            m_real=m_real,
+        )
     return np.asarray(scores), np.asarray(hi), np.asarray(lo)
 
 

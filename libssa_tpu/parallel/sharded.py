@@ -631,6 +631,15 @@ class ShardedSearchEngine:
             BitWidth.BIT8: 255,
             BitWidth.BIT16: 32767,
         }.get(bit_width)
+        if bit_width == BitWidth.BIT64:
+            # The mesh sweep runs the exact ladder (f32 rung + int64
+            # terminal escape rescue) — bit-identical scores; the DIRECT
+            # whole-DB int64 pass is the single-device engine's
+            # BitWidth.BIT64 lane (PARITY.md "BIT64").
+            stats.notes.append(
+                "BIT64 on the mesh: exact ladder with int64-terminal "
+                "escapes; direct int64 sweep is single-device"
+            )
         dtype = jnp.float32 if self.params.dtype == "float32" else jnp.int32
         eff_limit = limit
         if dtype == jnp.float32:

@@ -94,14 +94,20 @@ def stage_sweep(
     """
     import jax.numpy as jnp
 
-    if dtype_str == "int32":
+    if dtype_str in ("int32", "int64"):
         # The Pallas kernel computes in f32 unconditionally (its dtype
         # arg is interface-only), so honoring dtype="int32" — the user's
-        # request for exact arithmetic with NO f32-window guards — means
-        # the scan kernel, even when "pallas" was forced.
+        # request for exact arithmetic with NO f32-window guards — or
+        # "int64" — the TRUE 64-bit lane — means the scan kernel, even
+        # when "pallas" was forced.
         kernel_name = "scan"
     kern = best_kernel(None if kernel_name == "auto" else kernel_name)
-    dtype = jnp.float32 if dtype_str == "float32" else jnp.int32
+    dtype = {"float32": jnp.float32, "int64": jnp.int64}.get(dtype_str, jnp.int32)
+    if dtype_str == "int64":
+        # s64 never rides the MXU; the kernel forces the take-gather too,
+        # but keep the jit-cache key honest. Callers trace/dispatch the
+        # returned closures under jax.enable_x64(True).
+        use_matmul = False
     track = eff_limit is not None or nlimit is not None
 
     def one(profile, codes, lengths, mr):

@@ -15,10 +15,13 @@ Precision rungs on TPU (see ops/interseq.py for the rationale):
     lanes whose running score range leaves [0, 255] / [-32767, 32767].
   * float32 arithmetic (default: fastest on TPU) adds an implicit +/-2**24
     integer-exactness window, folded into the ladder the same way.
-  * The terminal rung is exact int32; scores that could exceed int32 are
-    impossible for int32-indexable sequences (score <= 2**31 needs a
-    ~10**8-residue alignment), and the int64 NumPy oracle remains available
-    as the out-of-band verifier (tests/test_search.py).
+  * The terminal rung is the TRUE 64-bit device lane (r4): int64
+    arithmetic on device — XLA legalizes s64 on TPU via 32-bit-pair
+    emulation — matching the reference's 8->16->64 ladder literally
+    (SURVEY.md §2 P4 [DRIVER]: keep a 64-bit rung even where 32 bits
+    suffice). ``BitWidth.BIT64`` runs that lane directly over the whole
+    DB. The int64 NumPy oracle remains the out-of-band verifier
+    (tests/test_search.py, tests/test_int64_lane.py).
 """
 from __future__ import annotations
 
@@ -112,19 +115,31 @@ class SearchStats:
 
 
 def _rungs(bit_width: BitWidth, dtype: str):
-    """Ladder of (limit, dtype) stages ending in an exact int32 pass.
+    """Ladder of (limit, dtype) stages ending in an exact terminal pass.
 
-    ``limit=None`` with dtype float32 still applies the f32 window flag, so
-    a final int32 stage only runs for subjects that actually left it.
+    The terminal rung is the TRUE 64-bit device lane (SURVEY.md §2 P4
+    [DRIVER]: the reference keeps a 64-bit rung even where 32 bits would
+    suffice): device int64 arithmetic — XLA legalizes s64 on TPU via
+    32-bit-pair emulation (probe: experiments/r4_int64_probe.py). It only
+    executes for subjects the previous rung flagged, so its emulation
+    cost is confined to the rare escapes. ``BitWidth.BIT64`` requests the
+    lane DIRECTLY: the whole sweep runs in device int64, no window flags.
+    ``limit=None`` with dtype float32 still applies the f32 window flag,
+    so the terminal stage only runs for subjects that actually left it.
+    A user-pinned dtype="int32" keeps a bare exact-int32 pass for EXACT
+    (already exact, windowless); narrow ladders still terminate in int64.
     """
     if bit_width == BitWidth.BIT8:
         ladder = [(SCORE_LIMIT_8, dtype), (SCORE_LIMIT_16, dtype)]
     elif bit_width == BitWidth.BIT16:
         ladder = [(SCORE_LIMIT_16, dtype)]
-    else:  # BIT64 / EXACT: single pass
+    elif bit_width == BitWidth.BIT64:
+        return [(None, "int64")]
+    else:  # EXACT: single pass
         ladder = [(None, dtype)]
-    if ladder[-1] != (None, "int32"):
-        ladder.append((None, "int32"))
+    if ladder[-1][0] is not None or ladder[-1][1] == "float32":
+        # The last rung can flag escapes -> append the exact 64-bit lane.
+        ladder.append((None, "int64"))
     return ladder
 
 
@@ -234,12 +249,20 @@ class SearchEngine:
         flat, so a per-chunk sync would throttle the sweep to chunk_ms+40
         regardless of kernel speed (measured; see bench.py).
         """
+        import contextlib
+
         p = self.params
-        dtype = jnp.float32 if dtype_str == "float32" else jnp.int32
         eff_limit = limit
         if dtype_str == "float32":
             eff_limit = min(limit, F32_WINDOW) if limit is not None else F32_WINDOW
         track = eff_limit is not None
+        # The int64 lane traces and dispatches under x64 (scoped: the
+        # context leaves the rest of the process in the int32 world).
+        x64 = (
+            jax.enable_x64(True)
+            if dtype_str == "int64"
+            else contextlib.nullcontext()
+        )
 
         from . import kernels
 
@@ -263,7 +286,8 @@ class SearchEngine:
             dtype_str, eff_limit,
         )
         stacks = tuple((codes, lens) for codes, lens, _ in dev_stacks)
-        s_flat, f_flat = sweep(profile_j, stacks, jnp.int32(m_real))
+        with x64:
+            s_flat, f_flat = sweep(profile_j, stacks, jnp.int32(m_real))
         if stats is not None:
             stats.dispatches += 1
         s_all = np.asarray(s_flat)
@@ -343,7 +367,18 @@ class SearchEngine:
         stats: SearchStats | None = None,
     ):
         """Top-k (scores, seq_ids) for one query, reference hit ordering."""
-        if bit_width in (BitWidth.EXACT, BitWidth.BIT64):
+        if bit_width == BitWidth.BIT64:
+            # TRUE 64-bit lane: the whole sweep runs in device int64
+            # (r4; SURVEY.md §2 P4 [DRIVER] demands the 64-bit rung even
+            # where 32 bits suffice). The correctness lane pays a full
+            # score fetch + host top-k — matching the reference, whose
+            # 64-bit path is the slow scalar lane, not the SIMD one.
+            stats = stats if stats is not None else SearchStats()
+            scores = self.score_all(q_codes, local, bit_width, stats)
+            return host_topk(
+                scores, np.arange(len(scores), dtype=np.int32), k
+            )
+        if bit_width == BitWidth.EXACT:
             # Exact single-pass searches (SW and, since r2, NW — traced
             # m_real) ride the device-side top-k sweep: only (k,) lists
             # cross the ~7 MB/s link.
@@ -566,14 +601,18 @@ class SearchEngine:
                     flags = f_all[off : off + nb][lanes]
                     needs_exact.extend((qi, int(i)) for i in ids[flags])
                 off += nb
-        # f32-window escapees (astronomically rare): exact int32 rescore.
+        # f32-window escapees (astronomically rare): rescore on the TRUE
+        # 64-bit device lane (r4) — exact at ANY magnitude, so even
+        # beyond-int32 scores (match=2**28-scale matrices) come back right.
         for qi, sid in needs_exact:
             sub = self.db.subset(np.array([sid], dtype=np.int32))
             eng = SearchEngine(
                 sub, self.matrix, self.gap_open, self.gap_extend,
-                SearchParams(batch_size=8, dtype="int32"),
+                SearchParams(batch_size=8),
             )
-            scores[qi, sid] = eng.score_all(queries[qi], local)[0]
+            scores[qi, sid] = eng.score_all(
+                queries[qi], local, BitWidth.BIT64
+            )[0]
         for q in queries:
             stats.cells += len(q) * self.db.total_residues
         stats.subjects += len(queries) * len(self.db)

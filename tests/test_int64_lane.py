@@ -1,0 +1,119 @@
+"""The TRUE 64-bit device lane (round 4).
+
+SURVEY.md §2 P4 ``[DRIVER]``: the reference keeps a 64-bit rung even
+where 32-bit arithmetic would suffice. Rounds 1-3 mapped BIT64 to the
+exact-int32 device pass with the int64 NumPy oracle out of band
+(PARITY.md documented the mapping); round 4 makes the lane real —
+``manager._rungs`` terminates every escape ladder in a device int64
+pass, and ``BitWidth.BIT64`` runs that pass directly. XLA legalizes
+s64 on TPU via 32-bit-pair emulation (experiments/r4_int64_probe.py).
+
+The beyond-int32 tests are the lane's raison d'être: with a
+``match=2**28`` constant-scoring matrix, a 20-residue self-hit scores
+5.4e9 — unrepresentable in int32 — and both the direct BIT64 lane and
+the EXACT ladder (f32 rung -> saturated range flag -> int64 terminal
+rescore) must still produce the int64 oracle's number.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libssa_tpu import matrices, oracle
+from libssa_tpu.constants import BitWidth, SymType
+from libssa_tpu.io.db import SequenceDB
+from libssa_tpu.ops import interseq
+from libssa_tpu.search.manager import SearchEngine, SearchParams, SearchStats
+
+B62 = matrices.builtin("BLOSUM62")
+
+
+def _db(n=20, seed=7, minlen=5, maxlen=60, alpha=20, extra=()):
+    rng = np.random.default_rng(seed)
+    seqs = [
+        rng.integers(0, alpha, int(rng.integers(minlen, maxlen))).astype(np.uint8)
+        for _ in range(n)
+    ] + [np.asarray(e, np.uint8) for e in extra]
+    st = SymType.AMINOACID if alpha == 20 else SymType.NUCLEOTIDE
+    return SequenceDB.from_sequences(
+        [f"s{i}" for i in range(len(seqs))], seqs, st
+    ), seqs
+
+
+@pytest.mark.parametrize("local", [True, False], ids=["sw", "nw"])
+def test_bit64_search_matches_exact(local):
+    """Hit lists (scores, ids, ordering) identical to the EXACT path."""
+    db, _ = _db()
+    rng = np.random.default_rng(8)
+    q = rng.integers(0, 20, 33).astype(np.uint8)
+    eng = SearchEngine(db, B62, 10, 1, SearchParams(batch_size=8))
+    es, ei = eng.search(q, k=7, local=local, bit_width=BitWidth.EXACT)
+    bs, bi = eng.search(q, k=7, local=local, bit_width=BitWidth.BIT64)
+    np.testing.assert_array_equal(bs, es)
+    np.testing.assert_array_equal(bi, ei)
+
+
+@pytest.mark.parametrize("local", [True, False], ids=["sw", "nw"])
+def test_bit64_score_all_matches_oracle(local):
+    db, seqs = _db(n=14, seed=9)
+    rng = np.random.default_rng(10)
+    q = rng.integers(0, 20, 24).astype(np.uint8)
+    eng = SearchEngine(db, B62, 10, 1, SearchParams(batch_size=8))
+    got = eng.score_all(q, local=local, bit_width=BitWidth.BIT64)
+    fn = oracle.sw_score if local else oracle.nw_score
+    np.testing.assert_array_equal(got, [fn(q, s, B62.scores, 10, 1) for s in seqs])
+
+
+@pytest.mark.parametrize("local", [True, False], ids=["sw", "nw"])
+def test_int64_lane_beyond_int32(local):
+    """Scores int32 cannot hold: the lane's defining case.
+
+    match=2**28 over a 20-residue self-hit -> 20 * 2**28 = 5.4e9. The
+    direct BIT64 pass computes it natively; the EXACT ladder's f32 rung
+    flags the range escape (saturating f32->s32 cast, probe-verified)
+    and the int64 terminal rung rescores.
+    """
+    match = 2**28
+    mat = matrices.constant_scoring(match, -4, SymType.NUCLEOTIDE)
+    hot = np.tile(np.arange(4, dtype=np.uint8), 5)  # 20 residues
+    db, seqs = _db(n=6, seed=11, alpha=4, extra=[hot])
+    q = hot.copy()
+    fn = oracle.sw_score if local else oracle.nw_score
+    expect = np.asarray(
+        [fn(q, s, mat.scores, 10, 2) for s in seqs], np.int64
+    )
+    assert expect.max() > 2**31, "test must exceed int32"
+
+    eng = SearchEngine(db, mat, 10, 2, SearchParams(batch_size=8))
+    got64 = eng.score_all(q, local=local, bit_width=BitWidth.BIT64)
+    np.testing.assert_array_equal(got64, expect)
+
+    stats = SearchStats()
+    got_exact = eng.score_all(q, local=local, stats=stats)
+    np.testing.assert_array_equal(got_exact, expect)
+    # The f32 rung must have flagged the self-hit into the int64 rung.
+    assert any(v > 0 for v in stats.rescored.values()), stats.rescored
+
+
+def test_interseq_scores_int64_kernel_direct():
+    """Kernel-level lock: dtype=int64 returns int64 and matches oracle."""
+    rng = np.random.default_rng(12)
+    q = rng.integers(0, 20, 17).astype(np.uint8)
+    subs = [rng.integers(0, 20, int(n)).astype(np.uint8) for n in (9, 23, 14)]
+    n_pad = max(len(s) for s in subs)
+    from libssa_tpu.io.db import PAD_CODE
+    from libssa_tpu.ops.scoring import make_profile
+
+    chunk = np.full((len(subs), n_pad), PAD_CODE, np.int32)
+    for i, s in enumerate(subs):
+        chunk[i, : len(s)] = s
+    lengths = np.asarray([len(s) for s in subs], np.int32)
+    prof = make_profile(q, B62.padded())
+    for local in (True, False):
+        s, hi, lo = interseq.batch_scores_oracle_layout(
+            prof, chunk, lengths, 11, 1, local, dtype=jnp.int64
+        )
+        assert s.dtype == np.int64
+        fn = oracle.sw_score if local else oracle.nw_score
+        np.testing.assert_array_equal(
+            s, [fn(q, x, B62.scores, 10, 1) for x in subs]
+        )

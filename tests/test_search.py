@@ -40,15 +40,19 @@ def test_score_all_matches_oracle(small_db, local, dtype):
 
 
 def test_ladder_rungs():
+    # r4: the terminal exact rung is the TRUE 64-bit device lane; a
+    # user-pinned int32 EXACT pass stays bare (already exact, windowless);
+    # BIT64 requests the int64 lane directly.
     assert _rungs(BitWidth.EXACT, "int32") == [(None, "int32")]
-    assert _rungs(BitWidth.EXACT, "float32") == [(None, "float32"), (None, "int32")]
+    assert _rungs(BitWidth.EXACT, "float32") == [(None, "float32"), (None, "int64")]
     assert _rungs(BitWidth.BIT8, "float32") == [
         (255, "float32"),
         (32767, "float32"),
-        (None, "int32"),
+        (None, "int64"),
     ]
-    assert _rungs(BitWidth.BIT16, "int32") == [(32767, "int32"), (None, "int32")]
-    assert _rungs(BitWidth.BIT64, "int32") == [(None, "int32")]
+    assert _rungs(BitWidth.BIT16, "int32") == [(32767, "int32"), (None, "int64")]
+    assert _rungs(BitWidth.BIT64, "int32") == [(None, "int64")]
+    assert _rungs(BitWidth.BIT64, "float32") == [(None, "int64")]
 
 
 @pytest.mark.parametrize("bit_width", [BitWidth.BIT8, BitWidth.BIT16, BitWidth.EXACT])
