@@ -41,7 +41,12 @@ class BitWidth(enum.IntEnum):
     representable limit; flagged subjects are re-scored at the next rung,
     preserving the reference pipeline's observable behavior (final scores are
     bit-identical either way). EXACT skips the ladder entirely — one exact
-    int32 pass (the fastest choice on TPU, and the default).
+    pass (the fastest choice on TPU, and the default). BIT64 runs the TRUE
+    64-bit device lane (r4): the whole sweep in s64 arithmetic — the slow
+    correctness lane, like the reference's scalar 64-bit path (its first
+    TPU compile takes minutes; see docs/PERF_NOTES.md "int64 lane").
+    Every escape ladder terminates in that int64 rung, so even scores
+    beyond int32 come back exact.
     """
 
     BIT8 = 8

@@ -373,6 +373,15 @@ class SearchEngine:
             # where 32 bits suffice). The correctness lane pays a full
             # score fetch + host top-k — matching the reference, whose
             # 64-bit path is the slow scalar lane, not the SIMD one.
+            from ..constants import OutputMode
+            from ..util.logging import log
+
+            log(
+                OutputMode.INFO,
+                "BIT64: true 64-bit device lane (correctness-first; a "
+                "cold TPU compile can take minutes — persistently "
+                "cached; see docs/PERF_NOTES.md)",
+            )
             stats = stats if stats is not None else SearchStats()
             scores = self.score_all(q_codes, local, bit_width, stats)
             return host_topk(
