@@ -62,6 +62,17 @@ from ..constants import PADDED_ALPHABET
 NEG32 = jnp.int32(-(2**30))  # -inf surrogate, safe from int32 underflow
 
 
+def x64_scope(enabled: bool):
+    """``jax.enable_x64`` context when ``enabled``, else a no-op scope.
+
+    The int64 lane traces AND dispatches under x64; the context is scoped
+    so the rest of the process stays in the int32-default world (the jit
+    cache keys on the x64 setting, so closures are never mixed)."""
+    import contextlib
+
+    return jax.enable_x64(True) if enabled else contextlib.nullcontext()
+
+
 def _profile_column(profile_full, profile_mxu, s_t, use_matmul: bool, dtype):
     """Scores sub(q[i], s_t[b]) as (m, B) in the DP dtype."""
     if use_matmul:
@@ -267,12 +278,7 @@ def batch_scores_oracle_layout(
     m_real: int | None = None,
 ):
     """Convenience host wrapper: (B, n_pad) chunk -> per-lane scores."""
-    import contextlib
-
-    x64 = (
-        jax.enable_x64(True) if dtype == jnp.int64 else contextlib.nullcontext()
-    )
-    with x64:
+    with x64_scope(dtype == jnp.int64):
         scores, hi, lo = interseq_scores(
             jnp.asarray(profile, jnp.int32),
             jnp.asarray(chunk_codes.T, jnp.int32),

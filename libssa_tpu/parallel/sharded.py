@@ -640,7 +640,12 @@ class ShardedSearchEngine:
                 "BIT64 on the mesh: exact ladder with int64-terminal "
                 "escapes; direct int64 sweep is single-device"
             )
-        dtype = jnp.float32 if self.params.dtype == "float32" else jnp.int32
+        # A BIT64 request overrides a pinned-int32 dtype: the int32 sweep
+        # is untracked (no window flags), so beyond-int32 scores would
+        # silently wrap — the 64-bit request demands the tracked f32
+        # sweep whose escapes rescue on the int64 lane below.
+        f32 = self.params.dtype == "float32" or bit_width == BitWidth.BIT64
+        dtype = jnp.float32 if f32 else jnp.int32
         eff_limit = limit
         if dtype == jnp.float32:
             eff_limit = min(limit, F32_WINDOW) if limit else F32_WINDOW
@@ -660,9 +665,19 @@ class ShardedSearchEngine:
             valid = ids >= 0
             sub = self.db.subset(ids[valid].astype(np.int32))
             rq = SearchStats()
+            # A BIT64 request under pinned int32 keeps its lane on the
+            # re-run (a bare int32 EXACT pass could wrap beyond-int32
+            # scores); under f32 the EXACT ladder's int64 terminal is
+            # already exact at any magnitude and avoids the s64 compile.
+            rbw = (
+                BitWidth.BIT64
+                if bit_width == BitWidth.BIT64
+                and self.params.dtype != "float32"
+                else BitWidth.EXACT
+            )
             r = self._fallback.__class__(
                 sub, self.matrix, self.gap_open, self.gap_extend, self.params
-            ).score_all(q_codes, local, BitWidth.EXACT, rq)
+            ).score_all(q_codes, local, rbw, rq)
             stats.merge(rq)
             all_s.append(r.astype(np.int64))
             all_i.append(ids[valid].astype(np.int32))
@@ -779,7 +794,15 @@ class ShardedSearchEngine:
             stats.rescored[f"limit>{eff_limit}"] = len(over)
         else:
             over = np.empty(0, np.int32)
-        if len(over) and self._fallback._window_risk(m_real):
+        # BIT64 bypasses the dtype gate in _window_risk: the request
+        # forced the tracked f32 sweep above even under pinned int32, so
+        # its escapes must reach the rescue regardless of params.dtype.
+        risk = (
+            self._fallback._f32_bound_risk(m_real)
+            if bit_width == BitWidth.BIT64
+            else self._fallback._window_risk(m_real)
+        )
+        if len(over) and risk:
             # Genuine f32-window risk: real rescore on the fallback
             # engine. Emulated-width flags ALONE are elided exactly as in
             # SearchEngine._ladder_search_device — the sweep runs in f32
@@ -792,9 +815,17 @@ class ShardedSearchEngine:
             # fallback, defeating the mesh.
             sub = self.db.subset(over)
             rescue_stats = SearchStats()
+            # Same lane rule as _requeue: BIT64 only needs the direct s64
+            # pass when a pinned-int32 dtype would make EXACT wrap.
+            rescue_bw = (
+                BitWidth.BIT64
+                if bit_width == BitWidth.BIT64
+                and self.params.dtype != "float32"
+                else BitWidth.EXACT
+            )
             rescored = self._fallback.__class__(
                 sub, self.matrix, self.gap_open, self.gap_extend, self.params
-            ).score_all(q_codes, local, BitWidth.EXACT, rescue_stats)
+            ).score_all(q_codes, local, rescue_bw, rescue_stats)
             stats.merge(rescue_stats, work=True)  # genuine extra work
             scores = np.concatenate([scores, rescored])
             ids = np.concatenate([ids, over])

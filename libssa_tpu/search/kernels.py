@@ -45,8 +45,37 @@ def best_kernel(force: str | None = None):
     return interseq.interseq_scores
 
 
-@functools.lru_cache(maxsize=128)
 def stage_sweep(
+    kernel_name: str,
+    gap_q: int,
+    gap_r: int,
+    local: bool,
+    use_matmul: bool,
+    dtype_str: str,
+    eff_limit: int | None,
+    nlimit: int | None = None,
+):
+    """Normalize args BEFORE the cache so equivalent requests share one
+    closure set (e.g. int64 forces the scan kernel and the take-gather;
+    keying on the pre-override values would duplicate the jitted sweeps
+    and their retraces)."""
+    if dtype_str in ("int32", "int64"):
+        # The Pallas kernel computes in f32 unconditionally (its dtype
+        # arg is interface-only), so honoring dtype="int32" — the user's
+        # request for exact arithmetic with NO f32-window guards — or
+        # "int64" — the TRUE 64-bit lane — means the scan kernel, even
+        # when "pallas" was forced.
+        kernel_name = "scan"
+    if dtype_str == "int64":
+        use_matmul = False  # s64 never rides the MXU
+    return _stage_sweep_cached(
+        kernel_name, gap_q, gap_r, local, use_matmul, dtype_str, eff_limit,
+        nlimit,
+    )
+
+
+@functools.lru_cache(maxsize=128)
+def _stage_sweep_cached(
     kernel_name: str,
     gap_q: int,
     gap_r: int,
@@ -94,20 +123,8 @@ def stage_sweep(
     """
     import jax.numpy as jnp
 
-    if dtype_str in ("int32", "int64"):
-        # The Pallas kernel computes in f32 unconditionally (its dtype
-        # arg is interface-only), so honoring dtype="int32" — the user's
-        # request for exact arithmetic with NO f32-window guards — or
-        # "int64" — the TRUE 64-bit lane — means the scan kernel, even
-        # when "pallas" was forced.
-        kernel_name = "scan"
     kern = best_kernel(None if kernel_name == "auto" else kernel_name)
     dtype = {"float32": jnp.float32, "int64": jnp.int64}.get(dtype_str, jnp.int32)
-    if dtype_str == "int64":
-        # s64 never rides the MXU; the kernel forces the take-gather too,
-        # but keep the jit-cache key honest. Callers trace/dispatch the
-        # returned closures under jax.enable_x64(True).
-        use_matmul = False
     track = eff_limit is not None or nlimit is not None
 
     def one(profile, codes, lengths, mr):

@@ -25,11 +25,9 @@ Precision rungs on TPU (see ops/interseq.py for the rationale):
 """
 from __future__ import annotations
 
-import functools
 import time
 from dataclasses import dataclass, field
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -41,18 +39,6 @@ from ..ops.scoring import make_profile
 from ..ops.topk import host_topk
 
 F32_WINDOW = 2**24 - 1  # largest integer magnitude f32 tracks exactly
-
-
-@functools.partial(jax.jit, static_argnames=("k",))
-def _device_topk(scores, seq_ids, k: int):
-    """Top-k with host_topk's tie-break, computed on device."""
-    NEG = jnp.int32(-(2**31) + 1)
-    INVALID = jnp.int32(2**31 - 1)
-    valid = seq_ids >= 0
-    s = jnp.where(valid, scores.astype(jnp.int32), NEG)
-    i = jnp.where(valid, seq_ids, INVALID)
-    neg_s, ids = jax.lax.sort((-s, i), num_keys=2)
-    return -neg_s[:k], ids[:k]
 
 
 @dataclass
@@ -249,20 +235,12 @@ class SearchEngine:
         flat, so a per-chunk sync would throttle the sweep to chunk_ms+40
         regardless of kernel speed (measured; see bench.py).
         """
-        import contextlib
-
         p = self.params
         eff_limit = limit
         if dtype_str == "float32":
             eff_limit = min(limit, F32_WINDOW) if limit is not None else F32_WINDOW
         track = eff_limit is not None
-        # The int64 lane traces and dispatches under x64 (scoped: the
-        # context leaves the rest of the process in the int32 world).
-        x64 = (
-            jax.enable_x64(True)
-            if dtype_str == "int64"
-            else contextlib.nullcontext()
-        )
+        x64 = interseq.x64_scope(dtype_str == "int64")
 
         from . import kernels
 
@@ -401,14 +379,24 @@ class SearchEngine:
     def _window_risk(self, m: int) -> bool:
         """Could any |score| leave the exact f32 integer window?
 
-        Conservative a-priori bound via ``ops.longpair.score_bound`` on
-        the PADDED table (strips the -64 fill from the max but keeps a
-        slack for pad-cell runs, which the padded sweeps do compute):
-        min(m, L) * max|sub| covers the positive side, the gap terms the
-        NW negative side. int32 compute is always exact.
+        int32-pinned compute has no window (exact to 2**31), so the
+        f32-window question only arises for float32 arithmetic.
         """
         if self.params.dtype != "float32":
             return False
+        return self._f32_bound_risk(m)
+
+    def _f32_bound_risk(self, m: int) -> bool:
+        """A-priori |score| bound vs the f32 window, dtype-independent.
+
+        Conservative bound via ``ops.longpair.score_bound`` on the PADDED
+        table (strips the -64 fill from the max but keeps a slack for
+        pad-cell runs, which the padded sweeps do compute): min(m, L) *
+        max|sub| covers the positive side, the gap terms the NW negative
+        side. Used directly (bypassing the dtype gate) by the sharded
+        engine's BIT64 handling, which must honor the 64-bit request even
+        under a pinned-int32 dtype.
+        """
         from ..ops.longpair import score_bound
 
         L = int(self.db.lengths.max()) if len(self.db) else 0
@@ -493,21 +481,18 @@ class SearchEngine:
                 sub, self.matrix, self.gap_open, self.gap_extend, p
             ).score_all(q_codes, local, sub_bw, rescue_stats)
             stats.merge(rescue_stats, work=True)
+            # Merge on the HOST in int64: the rescued values may exceed
+            # int32 (the r4 lane's whole point), which the pre-review
+            # device scatter + int32 top-k silently wrapped. Unflagged
+            # lanes' sweep scores are inside the f32 window (< 2**24), so
+            # the one int32 score-vector fetch is exact for them.
+            s_host = np.asarray(s_m).astype(np.int64)
+            stats.fetches += 1
             pos = np.full(len(self.db), -1, dtype=np.int64)
             valid = flat_ids >= 0
             pos[flat_ids[valid]] = np.nonzero(valid)[0]
-            s_upd = s_m.at[jnp.asarray(pos[over_ids])].set(
-                jnp.asarray(r.astype(np.int32))
-            )
-            ids_dev = jnp.concatenate(
-                [ids.reshape(-1) for _, _, ids in dev_stacks]
-            )
-            t2_s, t2_i = _device_topk(s_upd, ids_dev, kk)
-            stats.dispatches += 1
-            refetched = np.asarray(jnp.concatenate([t2_s, t2_i]))
-            stats.fetches += 1
-            top_s = refetched[:kk].astype(np.int64)
-            top_i = refetched[kk:].astype(np.int32)
+            s_host[pos[over_ids]] = r
+            top_s, top_i = host_topk(s_host, flat_ids, kk)
         n_valid = int((top_i != 2**31 - 1).sum())
         stats.subjects += len(self.db)
         stats.seconds += time.perf_counter() - t0
@@ -610,18 +595,39 @@ class SearchEngine:
                     flags = f_all[off : off + nb][lanes]
                     needs_exact.extend((qi, int(i)) for i in ids[flags])
                 off += nb
-        # f32-window escapees (astronomically rare): rescore on the TRUE
-        # 64-bit device lane (r4) — exact at ANY magnitude, so even
-        # beyond-int32 scores (match=2**28-scale matrices) come back right.
+        # f32-window escapees (astronomically rare): exact rescore, one
+        # subset engine per query (not per pair). The a-priori score
+        # bound picks the lane: pinned int32 while every |score| provably
+        # fits int32 (the common case — cheap compile), the TRUE 64-bit
+        # device lane beyond that (exact at ANY magnitude, e.g.
+        # match=2**28-scale matrices; its s64 kernel costs minutes to
+        # cold-compile, so it must not run for ordinary escapes).
+        by_query: dict[int, list[int]] = {}
         for qi, sid in needs_exact:
-            sub = self.db.subset(np.array([sid], dtype=np.int32))
-            eng = SearchEngine(
-                sub, self.matrix, self.gap_open, self.gap_extend,
-                SearchParams(batch_size=8),
+            by_query.setdefault(qi, []).append(sid)
+        from ..ops.longpair import score_bound
+
+        for qi, sids in by_query.items():
+            sub_ids = np.asarray(sorted(set(sids)), dtype=np.int32)
+            sub = self.db.subset(sub_ids)
+            bound = score_bound(
+                len(queries[qi]), int(sub.lengths.max()),
+                self.matrix.padded(), int(self.gap_q), int(self.gap_r),
             )
-            scores[qi, sid] = eng.score_all(
-                queries[qi], local, BitWidth.BIT64
-            )[0]
+            if bound < 2**31 - 1:
+                eng = SearchEngine(
+                    sub, self.matrix, self.gap_open, self.gap_extend,
+                    SearchParams(batch_size=8, dtype="int32"),
+                )
+                scores[qi, sub_ids] = eng.score_all(queries[qi], local)
+            else:
+                eng = SearchEngine(
+                    sub, self.matrix, self.gap_open, self.gap_extend,
+                    SearchParams(batch_size=8),
+                )
+                scores[qi, sub_ids] = eng.score_all(
+                    queries[qi], local, BitWidth.BIT64
+                )
         for q in queries:
             stats.cells += len(q) * self.db.total_residues
         stats.subjects += len(queries) * len(self.db)

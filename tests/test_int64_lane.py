@@ -94,6 +94,72 @@ def test_int64_lane_beyond_int32(local):
     assert any(v > 0 for v in stats.rescored.values()), stats.rescored
 
 
+@pytest.mark.parametrize("bw", [BitWidth.BIT8, BitWidth.BIT16])
+@pytest.mark.parametrize("local", [True, False], ids=["sw", "nw"])
+def test_narrow_search_beyond_int32(bw, local):
+    """The NARROW-width search path keeps beyond-int32 rescues exact.
+
+    Review-caught regression: `_ladder_search_device`'s rescue used to
+    scatter the int64 rescue scores through an int32 device top-k,
+    wrapping them (5.4e9 -> 1.07e9) — the hit list ranked the true best
+    hit below in-range subjects. The merge now happens on the host in
+    int64; this pins the full ladder path BIT8/BIT16 -> escape ->
+    rescue -> top-k against the oracle."""
+    from libssa_tpu.ops.topk import host_topk
+
+    match = 2**28
+    mat = matrices.constant_scoring(match, -4, SymType.NUCLEOTIDE)
+    hot = np.tile(np.arange(4, dtype=np.uint8), 5)  # 20 residues
+    db, seqs = _db(n=6, seed=21, alpha=4, extra=[hot])
+    q = hot.copy()
+    fn = oracle.sw_score if local else oracle.nw_score
+    want = np.asarray([fn(q, s, mat.scores, 10, 2) for s in seqs], np.int64)
+    assert want.max() > 2**31
+    w_s, w_i = host_topk(want, np.arange(len(seqs), dtype=np.int32), 4)
+
+    eng = SearchEngine(db, mat, 10, 2, SearchParams(batch_size=8))
+    stats = SearchStats()
+    g_s, g_i = eng.search(q, 4, local=local, bit_width=bw, stats=stats)
+    np.testing.assert_array_equal(g_s, w_s)
+    np.testing.assert_array_equal(g_i, w_i)
+    assert stats.rescored, "the hot self-hit must escape the window"
+
+
+@pytest.mark.parametrize("dtype", ["float32", "int32"])
+def test_sharded_bit64_beyond_int32(dtype):
+    """A mesh BIT64 request is exact even under a pinned-int32 dtype.
+
+    Review-caught: with params.dtype='int32' the mesh sweep used to run
+    untracked int32 (no window flags, no rescue) and silently wrapped
+    beyond-int32 scores, while the single-device BIT64 lane was exact.
+    BIT64 now forces the tracked f32 sweep and rescues on the int64
+    lane regardless of the pinned dtype."""
+    from libssa_tpu.ops.topk import host_topk
+    from libssa_tpu.parallel.sharded import (
+        ShardedSearchEngine,
+        make_db_mesh,
+    )
+
+    match = 2**28
+    mat = matrices.constant_scoring(match, -4, SymType.NUCLEOTIDE)
+    hot = np.tile(np.arange(4, dtype=np.uint8), 5)
+    db, seqs = _db(n=7, seed=22, alpha=4, extra=[hot])
+    q = hot.copy()
+    want = np.asarray(
+        [oracle.sw_score(q, s, mat.scores, 10, 2) for s in seqs], np.int64
+    )
+    assert want.max() > 2**31
+    w_s, w_i = host_topk(want, np.arange(len(seqs), dtype=np.int32), 3)
+
+    sh = ShardedSearchEngine(
+        db, mat, 10, 2, make_db_mesh(4),
+        SearchParams(batch_size=8, dtype=dtype),
+    )
+    g_s, g_i = sh.search(q, 3, local=True, bit_width=BitWidth.BIT64)
+    np.testing.assert_array_equal(g_s, w_s)
+    np.testing.assert_array_equal(g_i, w_i)
+
+
 def test_interseq_scores_int64_kernel_direct():
     """Kernel-level lock: dtype=int64 returns int64 and matches oracle."""
     rng = np.random.default_rng(12)

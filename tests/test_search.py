@@ -273,7 +273,7 @@ def test_device_resident_ladder_path(small_db):
     assert st2.dispatches == 1 and st2.fetches == 1
 
     # Force a genuine f32-window risk: the full rescue (host rescore +
-    # scatter + second top-k trip) must run and stay bit-identical.
+    # int64 host merge) must run and stay bit-identical.
     dev3 = SearchEngine(db2, B62, 10, 1, SearchParams(batch_size=8))
     dev3._window_risk = lambda m: True
     st3 = SearchStats()
@@ -281,10 +281,11 @@ def test_device_resident_ladder_path(small_db):
     np.testing.assert_array_equal(w_s, g3_s)
     np.testing.assert_array_equal(w_i, g3_i)
     assert st3.rescored
-    # r4 accounting counts the rescue's score_all stage too: ladder trip
-    # (1+1) + rescore stage (1 dispatch, scores+flags fetches) + the
-    # scatter/re-topk trip (1+1).
-    assert st3.dispatches == 3 and st3.fetches == 4
+    # Late-r4 accounting: ladder trip (1+1) + rescore stage (1 dispatch,
+    # scores+flags fetches) + the full-score-vector fetch for the HOST
+    # int64 merge (the old device scatter + int32 top-k trip wrapped
+    # beyond-int32 rescue scores; review finding).
+    assert st3.dispatches == 2 and st3.fetches == 4
 
 
 def test_fused_ladder_round_trip_counts(small_db):
