@@ -110,6 +110,38 @@ class AlignmentList:
         return self.hits[i]
 
 
+def parse_sequence_arg(
+    path_or_seq: str, header: str = "query", what: str = "query"
+) -> tuple[str, str]:
+    """Strictly resolve a file path / FASTA text / bare sequence argument.
+
+    Returns ``(header, sequence_text)``. An existing file must parse as
+    FASTA, and a filename-looking string that does NOT exist raises
+    FileNotFoundError — falling back to "bare sequence" in either case
+    would silently align the letter-stripped PATH STRING (exit 0,
+    garbage results). Shared by ``init_sequence_fasta`` and the CLI's
+    ``pair --subject`` (review finding: the subject side used to take
+    the silent fallback).
+    """
+    import os
+
+    if os.path.exists(path_or_seq):
+        recs = list(fasta.iter_fasta(path_or_seq))
+        if not recs:
+            raise ValueError(f"{path_or_seq!r}: no FASTA records")
+        return recs[0]
+    if path_or_seq.lstrip().startswith(">") or "\n" in path_or_seq:
+        recs = list(fasta.iter_fasta(path_or_seq))
+        if not recs:
+            raise ValueError(f"{what} FASTA text has no records")
+        return recs[0]
+    if "/" in path_or_seq or path_or_seq.lower().endswith(
+        (".fa", ".fas", ".fasta", ".fna", ".faa", ".txt", ".gz")
+    ):
+        raise FileNotFoundError(f"{what} file {path_or_seq!r} does not exist")
+    return header, path_or_seq  # bare sequence string
+
+
 class SSAContext:
     """Mutable configuration + cached engine, one search setup at a time."""
 
@@ -191,29 +223,7 @@ class SSAContext:
 
     def init_sequence_fasta(self, path_or_seq: str, header: str = "query") -> Query:
         """Read a query from FASTA (file or text) or a bare sequence string."""
-        import os
-
-        if os.path.exists(path_or_seq):
-            # An existing file must parse as FASTA: falling back to "bare
-            # sequence" here would silently search the letter-stripped
-            # PATH STRING as a query (exit 0, garbage hits).
-            recs = list(fasta.iter_fasta(path_or_seq))
-            if not recs:
-                raise ValueError(f"{path_or_seq!r}: no FASTA records")
-            header, seq = recs[0]
-        elif path_or_seq.lstrip().startswith(">") or "\n" in path_or_seq:
-            recs = list(fasta.iter_fasta(path_or_seq))
-            if not recs:
-                raise ValueError("query FASTA text has no records")
-            header, seq = recs[0]
-        elif "/" in path_or_seq or path_or_seq.lower().endswith(
-            (".fa", ".fas", ".fasta", ".fna", ".faa", ".txt", ".gz")
-        ):
-            raise FileNotFoundError(
-                f"query file {path_or_seq!r} does not exist"
-            )
-        else:
-            seq = path_or_seq  # bare sequence string
+        header, seq = parse_sequence_arg(path_or_seq, header, what="query")
         codes = alphabet.encode(seq, self.symtype)
         seqs = [("+", codes)]
         if self.symtype is SymType.NUCLEOTIDE:

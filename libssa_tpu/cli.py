@@ -178,14 +178,14 @@ def cmd_search(args) -> int:
 
 
 def cmd_pair(args) -> int:
-    from .io import fasta
+    from .api import parse_sequence_arg
 
     ctx = _configure(args)
     query = ctx.init_sequence_fasta(args.query)
-    subject = next(iter(fasta.iter_fasta(args.subject)))[1] if (
-        args.subject.lstrip().startswith(">") or "\n" in args.subject
-        or __import__("os").path.exists(args.subject)
-    ) else args.subject
+    # Strict resolution (api.parse_sequence_arg): a filename-looking
+    # subject that does not exist raises instead of silently aligning
+    # the letter-stripped path string.
+    _, subject = parse_sequence_arg(args.subject, what="subject")
     a = ctx.align_pair(
         query, subject, AlignType.SW if args.algo == "sw" else AlignType.NW,
         mode=ComputeMode.SCORE if args.score_only else ComputeMode.ALIGNMENT,

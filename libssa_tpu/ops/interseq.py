@@ -278,6 +278,12 @@ def batch_scores_oracle_layout(
     m_real: int | None = None,
 ):
     """Convenience host wrapper: (B, n_pad) chunk -> per-lane scores."""
+    # Same |score|<=127 gate as SearchEngine._matmul_ok: the int32 path
+    # feeds the MXU gather an int8 profile, which would silently wrap
+    # large-entry matrices (review finding; f32 is exact to 2**24 and
+    # int64 forces the take-gather, so only int32 needs the gate).
+    if use_matmul and dtype == jnp.int32:
+        use_matmul = int(np.abs(np.asarray(profile)).max()) <= 127
     with x64_scope(dtype == jnp.int64):
         scores, hi, lo = interseq_scores(
             jnp.asarray(profile, jnp.int32),
@@ -336,9 +342,13 @@ def pair_scores_batch(
             local=local, track_range=False, m_real=mr,
         )
         return scores
+    # The scan path computes in exact int32 whose MXU gather feeds an
+    # int8 profile: gate on |score|<=127 exactly like the engine's
+    # _matmul_ok (review finding — large-entry matrices wrapped here).
+    mm_ok = int(np.abs(np.asarray(profile)).max()) <= 127
     scores, _, _ = interseq_scores(
         profile, subjects_T, lengths,
         jnp.int32(gap_q), jnp.int32(gap_r),
-        local=local, use_matmul=True, track_range=False, m_real=mr,
+        local=local, use_matmul=mm_ok, track_range=False, m_real=mr,
     )
     return scores

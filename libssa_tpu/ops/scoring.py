@@ -26,3 +26,26 @@ def make_profile(q_codes: np.ndarray, padded_matrix: np.ndarray) -> np.ndarray:
     if mat.shape != (PADDED_ALPHABET, PADDED_ALPHABET):
         raise ValueError(f"expected padded matrix, got {mat.shape}")
     return mat[q]
+
+
+def make_padded_profile(
+    q_codes: np.ndarray, padded_matrix: np.ndarray, rows: int | None = None
+) -> np.ndarray:
+    """Profile padded with -64 rows to a target height.
+
+    ``rows=None`` pads to the next multiple of 32 — the convention every
+    search path shares so query length stops being a free
+    kernel-compilation dimension (kernels take the true length as the
+    traced ``m_real``; the -64 fill rows can never extend an alignment).
+    ``rows=k`` pads to an explicit height (the frame-fanout sweep pads
+    all frames to the tallest). One definition for what used to be
+    copy-pasted across eight call sites (manager + sharded engines).
+    """
+    prof = make_profile(q_codes, padded_matrix)
+    m = prof.shape[0]
+    target = m + ((-m) % 32) if rows is None else rows
+    if target < m:
+        raise ValueError(f"target rows {target} < query length {m}")
+    if target > m:
+        prof = np.pad(prof, ((0, target - m), (0, 0)), constant_values=-64)
+    return prof

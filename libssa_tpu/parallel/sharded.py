@@ -613,7 +613,7 @@ class ShardedSearchEngine:
         import time as _time
 
         from ..constants import BitWidth
-        from ..ops.scoring import make_profile
+        from ..ops.scoring import make_padded_profile
         from ..ops.topk import host_topk
         from ..search.manager import F32_WINDOW, SearchStats
 
@@ -621,10 +621,9 @@ class ShardedSearchEngine:
         stats = stats if stats is not None else SearchStats()
         t0 = _time.perf_counter()
         m_real = len(q_codes)
-        prof_np = make_profile(q_codes, self.matrix.padded())
-        pad_m = (-m_real) % 32
-        if pad_m:  # share kernel compilations across query lengths
-            prof_np = np.pad(prof_np, ((0, pad_m), (0, 0)), constant_values=-64)
+        # Padded to a 32-row multiple: kernel compilations are shared
+        # across query lengths (m_real is traced).
+        prof_np = make_padded_profile(q_codes, self.matrix.padded())
         profile = put_global(prof_np, self.mesh, P(), np.int32)
 
         limit = {
@@ -836,7 +835,13 @@ class ShardedSearchEngine:
             keep = np.concatenate([first_pass, np.ones(len(over), bool)])
             scores, ids = scores[keep], ids[keep]
         stats.seconds += _time.perf_counter() - t0
-        return host_topk(scores, ids, k)
+        # Per-device top lists pad with (NEG_SCORE, INVALID_ID); the
+        # sentinel id is POSITIVE (2**31-1), so host_topk's id>=0 filter
+        # would keep it — with k beyond the real candidate count the
+        # padding surfaced as garbage hits (review finding; the
+        # single-device paths trim via n_valid).
+        real = ids != INVALID_ID
+        return host_topk(scores[real], ids[real], k)
 
     def search_reduced(
         self, frames, group_of, k, local=True, stats=None,
@@ -857,7 +862,7 @@ class ShardedSearchEngine:
         import time as _time
 
         from ..constants import SCORE_LIMIT_8, SCORE_LIMIT_16, BitWidth
-        from ..ops.scoring import make_profile
+        from ..ops.scoring import make_padded_profile
         from ..search.manager import F32_WINDOW, SearchStats
 
         stats = stats if stats is not None else SearchStats()
@@ -875,10 +880,7 @@ class ShardedSearchEngine:
         mq = max(len(f) + ((-len(f)) % 32) for f in frames)
         profs = []
         for f in frames:
-            prof = make_profile(f, self.matrix.padded())
-            pad_m = mq - len(f)
-            if pad_m:
-                prof = np.pad(prof, ((0, pad_m), (0, 0)), constant_values=-64)
+            prof = make_padded_profile(f, self.matrix.padded(), rows=mq)
             profs.append(prof)
         prof_stack = put_global(np.stack(profs), self.mesh, P(), np.int32)
         m_reals = put_global(
@@ -1077,7 +1079,7 @@ class ShardedSearchEngine:
         import time as _time
 
         from ..constants import SCORE_LIMIT_8, SCORE_LIMIT_16, BitWidth
-        from ..ops.scoring import make_profile
+        from ..ops.scoring import make_padded_profile
         from ..ops.topk import host_topk
         from ..search.manager import F32_WINDOW, SearchStats
 
@@ -1104,15 +1106,12 @@ class ShardedSearchEngine:
         overflowed: set[int] = set()
 
         for mq, qis in hgroups.items():
-            profs = []
-            for qi in qis:
-                prof = make_profile(queries[qi], self.matrix.padded())
-                pad_m = mq - len(queries[qi])
-                if pad_m:
-                    prof = np.pad(
-                        prof, ((0, pad_m), (0, 0)), constant_values=-64
-                    )
-                profs.append(prof)
+            profs = [
+                make_padded_profile(
+                    queries[qi], self.matrix.padded(), rows=mq
+                )
+                for qi in qis
+            ]
             prof_stack = put_global(np.stack(profs), self.mesh, P(), np.int32)
             pending = []
             for gi, (n_pad, (codes_d, lens_d, ids_d, ids_np)) in enumerate(

@@ -230,22 +230,23 @@ def _ops_small(q, s, cost, g, h, tb, te):
 def _ops_m1(q, s, cost, g, h, tb, te):
     """Single-row base case: q[0] aligned to some s[j] with flanking
     horizontal gaps, or q[0] deleted inside one vertical gap (cheapest
-    boundary open)."""
+    boundary open). Vectorized: m==1 nodes inherit the FULL subject span
+    of their parent, which for megabase pairs is millions of positions —
+    the original per-j Python loop took tens of seconds there (review
+    finding). np.argmin keeps the loop's first-strict-improvement
+    tie-break (first index attaining the minimum wins; ties with the
+    delete-run cost keep the delete run, as the strict < did)."""
     n = len(s)
-    best = min(tb, te) + h + g + h * n  # delete + full insert run
-    best_j = -1
-    for j in range(n):
-        gaps = 0
-        if j > 0:
-            gaps += g + h * j
-        if j < n - 1:
-            gaps += g + h * (n - 1 - j)
-        c = int(cost[q[0], s[j]]) + gaps
-        if c < best:
-            best, best_j = c, j
-    if best_j < 0:
-        return ["D"] + ["I"] * n
-    return ["I"] * best_j + ["M"] + ["I"] * (n - best_j - 1)
+    del_cost = min(tb, te) + h + g + h * n  # delete + full insert run
+    j_arr = np.arange(n, dtype=np.int64)
+    gaps = np.where(j_arr > 0, g + h * j_arr, 0) + np.where(
+        j_arr < n - 1, g + h * (n - 1 - j_arr), 0
+    )
+    c = cost[q[0], s].astype(np.int64) + gaps
+    jmin = int(np.argmin(c)) if n else -1
+    if n and c[jmin] < del_cost:
+        return ["I"] * jmin + ["M"] + ["I"] * (n - jmin - 1)
+    return ["D"] + ["I"] * n
 
 
 def _ops_leaf(q, s, cost, g, h, tb, te):

@@ -35,7 +35,7 @@ from ..constants import SCORE_LIMIT_8, SCORE_LIMIT_16, BitWidth
 from ..io.db import SequenceDB
 from ..matrices import ScoreMatrix
 from ..ops import interseq
-from ..ops.scoring import make_profile
+from ..ops.scoring import make_padded_profile
 from ..ops.topk import host_topk
 
 F32_WINDOW = 2**24 - 1  # largest integer magnitude f32 tracks exactly
@@ -306,10 +306,7 @@ class SearchEngine:
         # Pad the profile to a multiple of 32 rows (-64 scores) so query
         # length stops being a free kernel-compilation dimension; kernels
         # take m_real for NW capture / range masking (see ops docstrings).
-        profile = make_profile(q_codes, self.padded_matrix)
-        pad_m = (-m) % 32
-        if pad_m:
-            profile = np.pad(profile, ((0, pad_m), (0, 0)), constant_values=-64)
+        profile = make_padded_profile(q_codes, self.padded_matrix)
         stats = stats if stats is not None else SearchStats()
 
         t0 = time.perf_counter()
@@ -330,7 +327,15 @@ class SearchEngine:
             # Map back to original ids if we're already in a subset.
             if hasattr(db, "subset_ids"):
                 over_ids = db.subset_ids[over_ids]
-            stats.rescored[f"limit>{limit}"] = len(over_ids)
+            # Label with the EFFECTIVE window (an EXACT-f32 escape is a
+            # 2**24 event, not "limit>None") and accumulate — matching
+            # _ladder_search_device / the sharded paths, so rung stats
+            # from different engines compare (review finding).
+            eff = limit
+            if dtype_str == "float32":
+                eff = min(limit, F32_WINDOW) if limit is not None else F32_WINDOW
+            key = f"limit>{eff}"
+            stats.rescored[key] = stats.rescored.get(key, 0) + len(over_ids)
             db = self.db.subset(over_ids)
         stats.seconds += time.perf_counter() - t0
         stats.subjects += len(self.db)
@@ -425,10 +430,7 @@ class SearchEngine:
             raise ValueError("empty query")
         t0 = time.perf_counter()
         m = len(q_codes)
-        profile = make_profile(q_codes, self.padded_matrix)
-        pad_m = (-m) % 32
-        if pad_m:
-            profile = np.pad(profile, ((0, pad_m), (0, 0)), constant_values=-64)
+        profile = make_padded_profile(q_codes, self.padded_matrix)
         profile_j = jnp.asarray(profile, jnp.int32)
 
         grouped, dev_stacks = self._stacks_on_device(self.db, p.batch_size)
@@ -525,10 +527,7 @@ class SearchEngine:
         # Bucket profiles to 32-row multiples (shared kernel compilations).
         profs = []
         for q in queries:
-            prof = make_profile(q, self.padded_matrix)
-            pad_m = (-len(q)) % 32
-            if pad_m:
-                prof = np.pad(prof, ((0, pad_m), (0, 0)), constant_values=-64)
+            prof = make_padded_profile(q, self.padded_matrix)
             profs.append((jnp.asarray(prof, jnp.int32), len(q)))
 
         from . import kernels
@@ -614,20 +613,27 @@ class SearchEngine:
                 len(queries[qi]), int(sub.lengths.max()),
                 self.matrix.padded(), int(self.gap_q), int(self.gap_r),
             )
+            # Fold the rescue's round trips + rung stats into the
+            # caller's accounting like every other rescue path
+            # (SearchStats.merge; work=True — genuine extra compute).
+            rescue_stats = SearchStats()
             if bound < 2**31 - 1:
                 eng = SearchEngine(
                     sub, self.matrix, self.gap_open, self.gap_extend,
                     SearchParams(batch_size=8, dtype="int32"),
                 )
-                scores[qi, sub_ids] = eng.score_all(queries[qi], local)
+                scores[qi, sub_ids] = eng.score_all(
+                    queries[qi], local, stats=rescue_stats
+                )
             else:
                 eng = SearchEngine(
                     sub, self.matrix, self.gap_open, self.gap_extend,
                     SearchParams(batch_size=8),
                 )
                 scores[qi, sub_ids] = eng.score_all(
-                    queries[qi], local, BitWidth.BIT64
+                    queries[qi], local, BitWidth.BIT64, rescue_stats
                 )
+            stats.merge(rescue_stats, work=True)
         for q in queries:
             stats.cells += len(q) * self.db.total_residues
         stats.subjects += len(queries) * len(self.db)
@@ -668,6 +674,17 @@ class SearchEngine:
             BitWidth.BIT8: SCORE_LIMIT_8,
             BitWidth.BIT16: SCORE_LIMIT_16,
         }.get(bit_width)
+        if bit_width == BitWidth.BIT64:
+            # Same observability rule as the sharded engine: scores are
+            # bit-identical (exact sweep + int64-terminal escapes), but
+            # the DIRECT s64 sweep is the single-query search() lane.
+            note = (
+                "BIT64 on the batched path: exact sweep with "
+                "int64-terminal escapes; direct int64 sweep is the "
+                "single-query search()"
+            )
+            if note not in stats.notes:  # height-group recursion reuses stats
+                stats.notes.append(note)
         heights = {len(q) + ((-len(q)) % 32) for q in queries}
         if len(heights) > 1:
             # Mixed profile heights: one device top-k sweep PER height
@@ -691,11 +708,7 @@ class SearchEngine:
         t0 = time.perf_counter()
         profs = []
         for q in queries:
-            prof = make_profile(q, self.padded_matrix)
-            pad_m = (-len(q)) % 32
-            if pad_m:
-                prof = np.pad(prof, ((0, pad_m), (0, 0)), constant_values=-64)
-            profs.append(prof)
+            profs.append(make_padded_profile(q, self.padded_matrix))
         prof_stack = jnp.asarray(np.stack(profs), jnp.int32)
 
         grouped, dev_stacks = self._stacks_on_device(self.db, p.batch_size)
@@ -733,6 +746,14 @@ class SearchEngine:
             )
         if fetched[-2]:
             # f32-window overflow somewhere: exact full-matrix fallback.
+            # Attribute the aborted sweep's cells/time first — its
+            # dispatch/fetch were already counted, and score_all_many
+            # accounts its own pass from here on (review finding: the
+            # early return used to skip this, undercounting gcups).
+            for q in queries:
+                stats.cells += len(q) * self.db.total_residues
+            stats.subjects += nq * len(self.db)
+            stats.seconds += time.perf_counter() - t0
             scores = self.score_all_many(queries, local, stats)
             ids = np.arange(scores.shape[1])
             return [host_topk(scores[qi], ids, k) for qi in range(nq)]
@@ -790,15 +811,17 @@ class SearchEngine:
             BitWidth.BIT8: SCORE_LIMIT_8,
             BitWidth.BIT16: SCORE_LIMIT_16,
         }.get(bit_width)
+        if bit_width == BitWidth.BIT64:
+            stats.notes.append(
+                "BIT64 on the frame-fanout path: exact sweep with "
+                "int64-terminal escapes; direct int64 sweep is the "
+                "single-query search()"
+            )
         t0 = time.perf_counter()
         mq = max(len(f) + ((-len(f)) % 32) for f in frames)
         profs = []
         for f in frames:
-            prof = make_profile(f, self.padded_matrix)
-            pad_m = mq - len(f)
-            if pad_m:
-                prof = np.pad(prof, ((0, pad_m), (0, 0)), constant_values=-64)
-            profs.append(prof)
+            profs.append(make_padded_profile(f, self.padded_matrix, rows=mq))
         prof_stack = jnp.asarray(np.stack(profs), jnp.int32)
         m_reals = jnp.asarray([len(f) for f in frames], jnp.int32)
         if group_of is None:

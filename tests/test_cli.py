@@ -95,3 +95,16 @@ def test_pair_score_only(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "score" in out.lower() or any(ch.isdigit() for ch in out)
+
+
+def test_pair_missing_subject_file_errors(tmp_path, capsys):
+    """A filename-looking --subject that does not exist must error, not
+    silently align the letter-stripped path string (review finding —
+    queries already had this guard)."""
+    qf = tmp_path / "q.fas"
+    qf.write_text(">q\nMKVLAAGWKQTE\n")
+    rc = main([
+        "pair", "--query", str(qf), "--subject", str(tmp_path / "nope.fas"),
+    ])
+    assert rc == 2
+    assert "does not exist" in capsys.readouterr().err

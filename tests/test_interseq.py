@@ -194,3 +194,26 @@ def test_m_real_padded_profile(local):
     )
     for a, b in zip(base, padded):
         np.testing.assert_array_equal(a, b)
+
+
+def test_pair_scores_batch_large_matrix_exact():
+    """pair_scores_batch must not wrap large-entry matrices in the int8
+    MXU gather (review finding: the scan path passed use_matmul=True
+    unguarded, bypassing the engine's |score|<=127 gate)."""
+    from libssa_tpu import matrices as M
+    from libssa_tpu.constants import SymType
+    from libssa_tpu.ops.interseq import pair_scores_batch
+
+    mat = M.constant_scoring(200, -200, SymType.NUCLEOTIDE)
+    rng = np.random.default_rng(7)
+    q = rng.integers(0, 4, 12).astype(np.uint8)
+    subs = np.stack([q, rng.integers(0, 4, 12).astype(np.uint8)])
+    prof = make_profile(q, mat.padded())
+    got = np.asarray(
+        pair_scores_batch(
+            prof, subs, np.full(2, 12, np.int32), 11, 1, local=True,
+            kernel="scan",
+        )
+    )
+    want = [oracle.sw_score(q, s, mat.scores, 10, 1) for s in subs]
+    np.testing.assert_array_equal(got, want)

@@ -469,3 +469,25 @@ def test_sharded_fanout_rung_stats():
     st16 = SearchStats()
     single.search_many([q], 6, True, st16, BitWidth.BIT16)
     assert not st16.rescored
+
+
+def test_sharded_k_beyond_candidates():
+    """k past the real candidate count must not surface padding sentinels.
+
+    Review-caught: per-device top lists pad with (NEG_SCORE, INVALID_ID
+    = 2**31-1); the POSITIVE sentinel id passed host_topk's id>=0 filter,
+    so hits beyond the DB size were garbage rows (and api._align crashed
+    indexing headers with 2**31-1). Must match the single-device engine:
+    exactly len(db) real hits, no more."""
+    db = _db(5, seed=60)
+    rng = np.random.default_rng(61)
+    q = rng.integers(0, 20, 18).astype(np.uint8)
+    params = SearchParams(batch_size=16)
+    single = SearchEngine(db, B62, 10, 1, params)
+    sharded = ShardedSearchEngine(db, B62, 10, 1, make_db_mesh(4), params)
+    s1, i1 = single.search(q, k=12, local=True)
+    s2, i2 = sharded.search(q, k=12, local=True)
+    assert len(s2) == len(db) and len(i2) == len(db)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(i1, i2)
+    assert (i2 < len(db)).all() and (i2 >= 0).all()
