@@ -236,6 +236,35 @@ class SequenceDB:
                 return size
         return -(-n_pad // 256) * 256
 
+    @classmethod
+    def _bucket_lengths_vec(
+        cls, lengths: np.ndarray, length_multiple: int, pow2_buckets: bool
+    ) -> np.ndarray:
+        """Vectorized ``_bucket_length`` over a whole lengths array.
+
+        ``_windows`` runs per sweep plan; the per-sequence Python loop it
+        replaced cost interpreter-speed seconds on multi-million-sequence
+        databases (review finding). Locked element-for-element against
+        the scalar rule by tests/test_io.py.
+        """
+        L = np.asarray(lengths, np.int64)
+        n_pad = np.maximum(
+            length_multiple, -(-L // length_multiple) * length_multiple
+        )
+        if not pow2_buckets:
+            return n_pad
+        # Powers of two below 256: 1 << bit_length(n_pad - 1).
+        exp = np.ceil(np.log2(np.maximum(n_pad, 1))).astype(np.int64)
+        pow2 = np.int64(1) << exp
+        ladder = np.asarray(cls._LADDER, np.int64)
+        idx = np.searchsorted(ladder, n_pad, side="left")
+        in_ladder = idx < len(ladder)
+        ladder_val = ladder[np.minimum(idx, len(ladder) - 1)]
+        beyond = -(-n_pad // 256) * 256
+        return np.where(
+            n_pad <= 256, pow2, np.where(in_ladder, ladder_val, beyond)
+        )
+
     def _windows(
         self,
         batch_size: int,
@@ -250,12 +279,8 @@ class SequenceDB:
             order = order[self.lengths[order] <= max_length]
         MIN_LANES = min(1024, batch_size)
         cells_budget = batch_size * 1024
-        buckets = np.array(
-            [
-                self._bucket_length(int(L), length_multiple, pow2_buckets)
-                for L in self.lengths[order]
-            ],
-            dtype=np.int64,
+        buckets = self._bucket_lengths_vec(
+            self.lengths[order], length_multiple, pow2_buckets
         )
         N = len(order)
         start = 0

@@ -247,6 +247,12 @@ def _kernel(
         elif track_range:
             hi_ref[:] = jnp.max(A_ref[:], axis=0, keepdims=True)
             # NW lo is the wrapper's static bound; this output is unused.
+        else:
+            # Untracked NW: honor the scan kernel's documented contract
+            # hi == scores (review finding — hi came back as the init
+            # zeros, so a caller applying overflow_flags to an untracked
+            # sweep per the contract would never see a flag fire).
+            hi_ref[:] = scores_ref[:]
 
 
 @functools.lru_cache(maxsize=256)
@@ -393,10 +399,15 @@ def interseq_scores_pallas(
         # 128-lane tile the kernel cannot be tiled into the budget, so a
         # giant query (> ~7k rows) would fail Mosaic compilation. The XLA
         # scan kernel is bit-identical (locked by tests) and keeps state
-        # in HBM — the right venue for this rare shape.
+        # in HBM — the right venue for this rare shape. dtype=f32 keeps
+        # THIS kernel's contract (f32 window semantics) AND avoids the
+        # int32 path's int8 MXU gather, which would silently wrap
+        # |score|>127 matrices (review finding — the fallback used to
+        # take the scan kernel's int32 default without the gate).
         return interseq.interseq_scores(
             profile, subjects_T, lengths, gap_q, gap_r, local=local,
-            track_range=track_range, m_real=m_real,
+            use_matmul=True, track_range=track_range,
+            dtype=jnp.float32, m_real=m_real,
         )
     mr = m_real if m_real is not None else m
     pad_m = (-m) % 32

@@ -449,6 +449,30 @@ def ring_score(
         lm = max(m, n)
         return 0 if lm == 0 else -(Q + (lm - 1) * R_)
 
+    # BOTH ring tile paths (banded Pallas and scan) compute in f32,
+    # exact only within +/-2**24 — and the NW boundary term (n * R)
+    # alone can leave it on the >8M-column pairs the ring exists for
+    # (review finding: ring_score had no window guard, unlike
+    # longpair_score / tiled_pair). Escape to the single-device exact
+    # path, which has its own int32 fallback at any magnitude.
+    from ..ops.longpair import score_bound
+
+    if score_bound(m, n, matrix_padded, Q, R_) >= 2**24:
+        from ..constants import OutputMode
+        from ..ops.longpair import longpair_score
+        from ..util.logging import log
+
+        log(
+            OutputMode.WARNING,
+            "ring_score: |score| bound exceeds the f32 exactness window; "
+            "escaping to the SINGLE-device exact path (ops.longpair — "
+            "slower, correct at any magnitude)",
+        )
+        return longpair_score(
+            q_codes, s_codes, matrix_padded, gap_open, gap_extend,
+            local=local, first_residue_opens=first_residue_opens,
+        )
+
     if kernel == "auto":
         from ..search.kernels import pallas_available
 

@@ -64,55 +64,58 @@ void* fastadb_parse(const char* path, const uint8_t* code_table) {
   db->codes.reserve(size / 2);
   bool in_record = false;
   int64_t cur_start = 0;
+  // Line semantics must match the pure-Python parser EXACTLY (io/fasta.py
+  // strips each line, then tests startswith('>')): a '>' preceded only by
+  // blanks since the line started begins a header; '\n' AND lone '\r'
+  // both terminate lines (text-mode universal newlines in Python — the
+  // old scanner skipped to '\n' only, so CR-only files lost all sequence
+  // data); headers are trimmed of surrounding blanks like Python's
+  // line[1:].strip(). A mid-line '>' stays sequence content, dropped by
+  // the residue filter exactly as alphabet.encode drops it. Keeping the
+  // two parsers byte-equivalent matters: which one runs depends on
+  // whether the .so is built.
+  bool ws_only = true;  // only blanks seen since the current line started
   size_t i = 0;
-  // A '>' begins a header ONLY at the start of a line — the same rule as
-  // the pure-Python parser (io/fasta.py iterates lines); a mid-line '>'
-  // is sequence content and is dropped by the residue filter exactly as
-  // alphabet.encode drops it. Keeping the two parsers byte-equivalent
-  // matters: which one runs depends on whether the .so is built.
   while (i < size) {
-    const bool line_start =
-        i == 0 || data[i - 1] == '\n' || data[i - 1] == '\r';
-    if (data[i] == '>' && line_start) {
+    const char ch = data[i];
+    if (ch == '\n' || ch == '\r') {
+      ws_only = true;
+      ++i;
+      continue;
+    }
+    if (ch == ' ' || ch == '\t') {
+      ++i;  // blanks never flip ws_only off by themselves
+      continue;
+    }
+    if (ch == '>' && ws_only) {
       if (in_record) {
         db->lengths.push_back(
             static_cast<int32_t>(db->codes.size() - cur_start));
       }
-      // Header runs to end of line.
+      // Header runs to end of line; trim surrounding blanks.
       size_t j = i + 1;
       while (j < size && data[j] != '\n' && data[j] != '\r') ++j;
-      db->headers.append(data + i + 1, j - (i + 1));
+      size_t b = i + 1, e = j;
+      while (b < e && (data[b] == ' ' || data[b] == '\t')) ++b;
+      while (e > b && (data[e - 1] == ' ' || data[e - 1] == '\t')) --e;
+      db->headers.append(data + b, e - b);
       db->headers.push_back('\0');
       db->offsets.push_back(static_cast<int64_t>(db->codes.size()));
       cur_start = static_cast<int64_t>(db->codes.size());
       in_record = true;
-      while (j < size && data[j] != '\n') ++j;
-      i = j + 1;
-    } else if (!in_record) {
-      unsigned char c = static_cast<unsigned char>(data[i]);
-      if (c == ' ' || c == '\t' || c == '\n' || c == '\r') {
-        ++i;  // blank lines / whitespace before the first header are fine
-      } else {
-        // Body before any header: malformed.
-        ::munmap(const_cast<char*>(data), size);
-        delete db;
-        return nullptr;
-      }
-    } else {
-      // Sequence line(s): translate every residue byte until the next
-      // LINE-INITIAL '>'.
-      size_t j = i;
-      while (j < size) {
-        if (data[j] == '>' &&
-            (data[j - 1] == '\n' || data[j - 1] == '\r')) {
-          break;
-        }
-        unsigned char c = static_cast<unsigned char>(data[j]);
-        if (is_residue(c)) db->codes.push_back(code_table[c]);
-        ++j;
-      }
-      i = j;
+      i = j;  // the terminator (or EOF) is handled by the loop
+      continue;
     }
+    ws_only = false;
+    if (!in_record) {
+      // Body before any header: malformed.
+      ::munmap(const_cast<char*>(data), size);
+      delete db;
+      return nullptr;
+    }
+    const unsigned char c = static_cast<unsigned char>(ch);
+    if (is_residue(c)) db->codes.push_back(code_table[c]);
+    ++i;
   }
   if (in_record) {
     db->lengths.push_back(static_cast<int32_t>(db->codes.size() - cur_start));

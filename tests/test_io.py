@@ -172,6 +172,30 @@ class TestNativeParser:
         for i, s in enumerate(py_seqs):
             np.testing.assert_array_equal(db.sequence(i), s)
 
+    def test_native_cr_only_and_blank_led_headers(self, tmp_path):
+        """Review-caught parity holes: lone-'\\r' (classic Mac) line
+        terminators used to make the native header skip consume the rest
+        of the file (zero-length records), ' >hdr' lines are headers in
+        Python (it strips before testing '>'), and headers are trimmed
+        of surrounding blanks like Python's line[1:].strip()."""
+        messy = (
+            ">first rec\rMKVL\rAAGW\r"     # CR-only file
+            "  >  second padded  \r"       # blank-led + padded header
+            "ARND\r"
+        )
+        p = tmp_path / "cr.fas"
+        p.write_bytes(messy.encode())      # binary: keep the lone CRs
+        got = parse_fasta_native(str(p), SymType.AMINOACID)
+        assert got is not None
+        codes, offsets, lengths, headers = got
+        py_headers, py_seqs = fasta.read_fasta_encoded(str(p), SymType.AMINOACID)
+        assert headers == py_headers == ["first rec", "second padded"]
+        np.testing.assert_array_equal(lengths, [len(s) for s in py_seqs])
+        np.testing.assert_array_equal(lengths, [8, 4])
+        db = SequenceDB(codes, offsets, lengths, headers, SymType.AMINOACID)
+        for i, s in enumerate(py_seqs):
+            np.testing.assert_array_equal(db.sequence(i), s)
+
     def test_native_empty_file(self, tmp_path):
         p = tmp_path / "empty.fas"
         p.write_text("")
@@ -290,3 +314,18 @@ def test_translated_db_matches_per_record_loop(tmp_path):
     np.testing.assert_array_equal(t1.codes, t2.codes)
     np.testing.assert_array_equal(o1, o2)
     assert l1 == l2
+
+
+@pytest.mark.parametrize("pow2", [True, False])
+@pytest.mark.parametrize("mult", [32, 64])
+def test_bucket_lengths_vec_matches_scalar(pow2, mult):
+    """The vectorized bucket rule (review fix: the per-sequence Python
+    loop cost seconds of plan time at Swiss-Prot scale) is element-for-
+    element the scalar _bucket_length."""
+    lengths = np.concatenate([
+        np.arange(1, 600),
+        np.array([1023, 1024, 1025, 4096, 4097, 65536, 65537, 200_000]),
+    ])
+    got = SequenceDB._bucket_lengths_vec(lengths, mult, pow2)
+    want = [SequenceDB._bucket_length(int(n), mult, pow2) for n in lengths]
+    np.testing.assert_array_equal(got, want)

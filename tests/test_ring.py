@@ -149,3 +149,25 @@ def test_banded_ring_matches_scan_ring(mesh):
         kernel="banded", interpret=True,
     )
     assert scan == banded == oracle.sw_score(q, s, B62.scores, 12, 2)
+
+
+def test_ring_f32_window_escape(capsys):
+    """Scores past the f32 window escape to the single-device exact path
+    with a WARNING (review finding: both ring tile paths compute in f32
+    and had no window guard, unlike longpair/tiled)."""
+    from libssa_tpu import matrices, oracle
+    from libssa_tpu.constants import SymType
+    from libssa_tpu.parallel.ring import ring_score
+    from libssa_tpu.util.logging import set_output_mode
+    from libssa_tpu.constants import OutputMode
+
+    mat = matrices.constant_scoring(2**25, -4, SymType.NUCLEOTIDE)
+    rng = np.random.default_rng(3)
+    q = rng.integers(0, 4, 40).astype(np.uint8)
+    s = np.concatenate([q, rng.integers(0, 4, 20).astype(np.uint8)])
+    want = oracle.sw_score(q, s, mat.scores, 10, 2)
+    assert want > 2**24
+    set_output_mode(OutputMode.WARNING)
+    got = ring_score(q, s, mat.padded(), 10, 2, local=True)
+    assert int(got) == int(want)
+    assert "f32 exactness window" in capsys.readouterr().err
