@@ -952,9 +952,10 @@ class ShardedSearchEngine:
         stats.subjects += len(self.db)
         stats.seconds += _time.perf_counter() - t0
         if nlimit is not None and n_flagged_total:
-            stats.rescored[f"limit>{nlimit}"] = (
-                stats.rescored.get(f"limit>{nlimit}", 0) + n_flagged_total
-            )
+            # "/entries": same unit as the single-device reduced sweep
+            # (SearchStats docstring) — DB entries flagged in any frame.
+            key = f"limit>{nlimit}/entries"
+            stats.rescored[key] = stats.rescored.get(key, 0) + n_flagged_total
         if overflowed:
             from ..constants import OutputMode
             from ..util.logging import log
@@ -1206,9 +1207,11 @@ class ShardedSearchEngine:
                         overflowed.add(qi)
                     n_flagged_total += int(row[-1])
             if nlimit is not None and n_flagged_total:
-                stats.rescored[f"limit>{nlimit}"] = (
-                    stats.rescored.get(f"limit>{nlimit}", 0)
-                    + n_flagged_total
+                # "/pairs": same unit as the single-device batched sweep
+                # (SearchStats docstring) — (query, subject) pairs.
+                key = f"limit>{nlimit}/pairs"
+                stats.rescored[key] = (
+                    stats.rescored.get(key, 0) + n_flagged_total
                 )
 
         if overflowed:

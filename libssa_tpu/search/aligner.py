@@ -79,12 +79,15 @@ def align_pair(
     gap_extend: int,
     local: bool = True,
     first_residue_opens: bool = True,
+    stats=None,
 ) -> Traceback:
     """One optimal alignment of a pair.
 
     Small pairs: full-matrix fill + traceback. Long pairs (> 16M cells):
     O(m+n)-memory Myers-Miller divide and conquer (search/hirschberg.py)
-    — same optimal scores, locked against each other in tests.
+    — same optimal scores, locked against each other in tests. ``stats``
+    (optional ``SearchStats``) receives the long-pair path's device
+    round-trip accounting (``aligner_dispatches``).
     """
     q = np.asarray(q)
     s = np.asarray(s)
@@ -93,7 +96,8 @@ def align_pair(
         from .hirschberg import align_pair_linear
 
         return align_pair_linear(
-            q, s, sub, gap_open, gap_extend, local, first_residue_opens
+            q, s, sub, gap_open, gap_extend, local, first_residue_opens,
+            stats=stats,
         )
     Q, R = gap_qr(gap_open, gap_extend, first_residue_opens)
     if m == 0 or n == 0:

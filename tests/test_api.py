@@ -509,7 +509,9 @@ def test_fanout_bit_width_faithful_ladder(tmp_path):
         (h.score, h.seq_id, h.strand) for h in want
     ]
     assert got[0].score == 400  # perfect self-match, forward strand
-    assert got.stats.rescored.get("limit>255", 0) >= 1
+    # Two strands -> the frame-fanout sweep: the rung stat counts DB
+    # ENTRIES (unit rides in the key — SearchStats docstring).
+    assert got.stats.rescored.get("limit>255/entries", 0) >= 1
     assert not got.stats.notes  # the r2 notice path is gone
     assert not want.stats.rescored  # exact requests report no rungs
     # BIT16: 400 < 32767 — nothing leaves the window.
@@ -574,5 +576,7 @@ def test_align_many_bit_width_faithful(tmp_path):
         assert [(h.score, h.seq_id) for h in g] == [
             (h.score, h.seq_id) for h in w
         ]
-    assert got[0].stats.rescored.get("limit>255", 0) >= 2
+    # Batched sweep: the rung stat counts (query, subject) PAIRS (unit
+    # rides in the key — SearchStats docstring).
+    assert got[0].stats.rescored.get("limit>255/pairs", 0) >= 2
     assert not want[0].stats.rescored

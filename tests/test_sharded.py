@@ -465,7 +465,7 @@ def test_sharded_fanout_rung_stats():
     # The 8-bit window genuinely overflowed; the 16-bit one did not.
     st8 = SearchStats()
     single.search_many([q], 6, True, st8, BitWidth.BIT8)
-    assert st8.rescored.get("limit>255", 0) >= 1
+    assert st8.rescored.get("limit>255/pairs", 0) >= 1
     st16 = SearchStats()
     single.search_many([q], 6, True, st16, BitWidth.BIT16)
     assert not st16.rescored
