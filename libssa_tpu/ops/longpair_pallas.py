@@ -106,6 +106,7 @@ def _kernel(
     CH: int,
     local: bool,
     unroll: int,
+    tree_mode: str,
 ):
     Qf, Rf = jnp.float32(Q), jnp.float32(R)
     PAD = K - 1
@@ -132,16 +133,12 @@ def _kernel(
     ibnd = -(Qf + gi * Rf)
     rc = (mr - 1) % CH  # NW capture row within its band (traced)
 
-    def sel_tree(symi):
-        """Substitution plane select: binary tree over the K symbol planes.
-
-        bf16 operands (8, B) halve the per-select register footprint;
-        matrix scores are small integers, so bf16 is exact. K-1 selects:
-        an odd tail at any level passes through unchanged (node j at
-        level d covers symbols with ``sym >> d == j``, so the lone tail
-        node needs no select until a higher bit pairs it).
-        """
-        lvl = [pq_ref[a] for a in range(K)]
+    def _tree(symi, planes):
+        """Binary select tree over the K symbol planes (K-1 selects: an
+        odd tail at any level passes through unchanged — node j at level
+        d covers symbols with ``sym >> d == j``, so the lone tail node
+        needs no select until a higher bit pairs it)."""
+        lvl = planes
         bit = 0
         while len(lvl) > 1:
             b_set = ((symi >> bit) & 1) == 1  # (1, B)
@@ -153,7 +150,53 @@ def _kernel(
                 nxt.append(lvl[-1])
             lvl = nxt
             bit += 1
-        return lvl[0].astype(jnp.float32)  # (CH, B)
+        return lvl[0]
+
+    if tree_mode == "const":
+
+        def sel_tree(symi):
+            """PROBE-ONLY floor variant (experiments/r5_lp_pack_probe):
+            the substitution select replaced by one plane — WRONG scores,
+            right instruction mix minus the tree. Never reachable from
+            ``longpair_score_pallas``."""
+            return pq_ref[0].astype(jnp.float32)
+
+    elif tree_mode == "packed8":
+        W = CH // 4
+
+        def sel_tree(symi):
+            """Packed-int8 substitution select (r5; the measured step
+            breakdown put the K-1 selects at ~55% of a protein step).
+
+            Each plane is (W, B) int32 with FOUR rows' int8 scores per
+            word (byte j = band row ``w + W*j``) — HALF the per-select
+            data volume of the bf16 planes, on ops that all legalize
+            (int32 where/shift; int8 vector ops don't lower in Mosaic —
+            PERF_NOTES legalization matrix — but int8 data inside int32
+            words never touches an int8 op). The tree runs on the packed
+            words; ONE shift-pair sign-extend unpack per step (vs a
+            convert inside every select) rebuilds the (CH, B) f32
+            column. Packing is along SUBLANES, so the per-LANE select
+            condition broadcast is unchanged.
+            """
+            word = _tree(symi, [pq_ref[a] for a in range(K)])  # (W, B) i32
+            groups = []
+            for j in range(4):
+                g = word >> (8 * j) if j == 3 else (
+                    (word << (24 - 8 * j)) >> 24
+                )
+                groups.append(g.astype(jnp.float32))
+            return jnp.concatenate(groups, axis=0)  # (CH, B)
+
+    else:
+
+        def sel_tree(symi):
+            """bf16 substitution plane select: (CH, B) bf16 operands
+            halve the per-select register footprint vs f32; matrix
+            scores are small integers, so bf16 is exact."""
+            return _tree(
+                symi, [pq_ref[a] for a in range(K)]
+            ).astype(jnp.float32)  # (CH, B)
 
     def make_step(warmup: bool, capture: bool):
         """One DP step; ``warmup`` adds the tau<0 masks (only correct —
@@ -323,14 +366,18 @@ def _kernel(
 
 
 @functools.lru_cache(maxsize=64)
-def _build(m_pad, T, Q, R, local, interpret, K=PADDED_ALPHABET, CH=None):
+def _build(
+    m_pad, T, Q, R, local, interpret, K=PADDED_ALPHABET, CH=None,
+    tree_mode="bf16",
+):
     CH = CH_ROWS if CH is None else CH
     B = m_pad // CH
     # Interpret mode (CPU tests) keeps the loop rolled: the 32x body is
     # identical code, and interpreting it 32x inline is painfully slow.
     unroll = 1 if interpret else UNROLL_STEPS
     kernel = functools.partial(
-        _kernel, B=B, T=T, Q=Q, R=R, K=K, CH=CH, local=local, unroll=unroll
+        _kernel, B=B, T=T, Q=Q, R=R, K=K, CH=CH, local=local,
+        unroll=unroll, tree_mode=tree_mode,
     )
     call = pl.pallas_call(
         kernel,
@@ -378,15 +425,20 @@ def longpair_score_pallas(
     local: bool = True,
     interpret: bool = False,
     ch: int | None = None,
+    tree: str | None = None,
 ) -> int:
     """Exact SW/NW score of one pair on the skewed-band Pallas kernel.
 
     Caller contract: |score| < 2**24 (``longpair.score_bound``) and
     ``len(q_codes) <= M_PAD_MAX`` (the per-symbol query planes must fit
     VMEM; ``longpair.longpair_score`` swaps/falls back). Subject length
-    is unbounded. Compilations key on (m_pad, T_pad, gaps, mode, K, CH)
-    where K is the select-tree plane count (``alphabet_planes``) and CH
-    the band height (``band_height`` unless pinned via ``ch``).
+    is unbounded. Compilations key on (m_pad, T_pad, gaps, mode, K, CH,
+    tree) where K is the select-tree plane count (``alphabet_planes``),
+    CH the band height (``band_height`` unless pinned via ``ch``), and
+    ``tree`` the select-tree data layout: ``"bf16"`` (per-row bf16
+    planes) or ``"packed8"`` (four int8 rows per int32 word — half the
+    per-select data volume; see ``_kernel.sel_tree``). ``None`` picks by
+    alphabet (``tree_impl``, measured — PERF_NOTES r5).
     """
     m, n = len(q_codes), len(s_codes)
     if m == 0 or n == 0:
@@ -398,6 +450,11 @@ def longpair_score_pallas(
         raise ValueError(f"query too long for the VMEM planes ({m})")
     PAD = K - 1
     CH = band_height(K, m) if ch is None else int(ch)
+    auto_tree = tree is None
+    tree = tree_impl(K, CH) if tree is None else tree
+    if tree not in ("bf16", "packed8"):
+        raise ValueError(f"unknown select-tree impl {tree!r}")
+    packed = tree == "packed8" and CH % 4 == 0
     # m_pad: B = m_pad/CH must be a lane multiple (>= 128) and an
     # UNROLL_STEPS multiple for the phase bounds.
     unit = max(1024, 128 * CH)
@@ -410,22 +467,24 @@ def longpair_score_pallas(
     T = -(-(n + B) // 512) * 512
 
     pq = build_planes(q_codes, matrix_padded, m_pad, K, CH)
+    if packed and auto_tree and np.abs(pq).max() > 127:
+        # The Pallas paths admit |score| <= 256 (bf16-exact); the packed
+        # bytes only <= 127 — auto-picked trees fall back, an explicit
+        # "packed8" request errors in pack_planes.
+        packed = False
+    if packed:
+        pq_dev = jnp.asarray(pack_planes(pq))
+    else:
+        pq_dev = jnp.asarray(pq.astype(np.float32)).astype(jnp.bfloat16)
 
     s_full = np.full((T,), PAD, np.int32)
     s_full[:n] = s_codes
 
     run = _build(
         m_pad, T, int(gap_q), int(gap_r), bool(local), bool(interpret), K,
-        CH,
+        CH, "packed8" if packed else "bf16",
     )
-    return int(
-        run(
-            m,
-            n,
-            jnp.asarray(s_full),
-            jnp.asarray(pq.astype(np.float32)).astype(jnp.bfloat16),
-        )
-    )
+    return int(run(m, n, jnp.asarray(s_full), pq_dev))
 
 
 def band_height(K: int, m: int) -> int:
@@ -475,6 +534,16 @@ def alphabet_planes(*code_arrays) -> int:
     return PADDED_ALPHABET
 
 
+def tree_impl(K: int, CH: int) -> str:
+    """Select-tree data layout by alphabet size (measured, PERF_NOTES
+    r5): protein-and-larger trees (K >= 25) are select-bound, so the
+    packed-int8 layout's halved per-select volume wins; the small
+    nucleotide trees are not (the step floor is the serial lane rolls),
+    and the bf16 layout avoids the unpack's fixed ~25 ns. CH must hold
+    whole words (always true for the shipped heights 8/16/32)."""
+    return "packed8" if K >= 25 and CH % 4 == 0 else "bf16"
+
+
 def build_planes(
     q_codes, matrix_padded, m_pad: int, K: int, CH: int = 8
 ) -> np.ndarray:
@@ -489,3 +558,25 @@ def build_planes(
     q_full[:m] = np.asarray(q_codes, np.int64)
     qprof = np.asarray(matrix_padded)[cmap[q_full]][:, cmap]  # (m_pad, K)
     return np.ascontiguousarray(qprof.reshape(B, CH, K).transpose(2, 1, 0))
+
+
+def pack_planes(pq: np.ndarray) -> np.ndarray:
+    """(K, CH, B) int planes -> (K, CH//4, B) int32, 4 int8 rows/word.
+
+    Byte j of word w holds band row ``w + (CH//4) * j`` (two's
+    complement), so the kernel's shift-pair sign-extend unpack yields
+    the four (CH//4, B) row groups in concatenation order. Caller
+    contract: |score| <= 127 (``longpair_score`` already rejects
+    matrices past the bf16-exact bound of 256 for every Pallas path;
+    the packed path's tighter bound is enforced here).
+    """
+    K, CH, B = pq.shape
+    if CH % 4:
+        raise ValueError(f"band height {CH} not divisible into words")
+    if np.abs(pq).max() > 127:
+        raise ValueError("packed select tree needs |score| <= 127")
+    b = pq.astype(np.int8).astype(np.uint8).astype(np.uint32)
+    W = CH // 4
+    g = b.reshape(K, 4, W, B)  # group j = rows [W*j, W*(j+1))
+    word = g[:, 0] | (g[:, 1] << 8) | (g[:, 2] << 16) | (g[:, 3] << 24)
+    return word.astype(np.int32)

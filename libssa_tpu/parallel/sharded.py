@@ -80,8 +80,11 @@ def fetch_global(x: jax.Array) -> np.ndarray:
 
 
 def _merged_topk(scores, ids, k):
-    """Replicated merge of gathered (D, k) candidate lists."""
-    s = scores.reshape(-1).astype(jnp.int32)
+    """Replicated merge of gathered (D, k) candidate lists.
+
+    Score dtype is preserved (int32 everywhere except the direct s64
+    lane, whose beyond-int32 values an int32 cast would wrap)."""
+    s = scores.reshape(-1)
     i = ids.reshape(-1).astype(jnp.int32)
     neg_s, ids_sorted = jax.lax.sort((-s, i), num_keys=2)
     return -neg_s[:k], ids_sorted[:k]
@@ -229,7 +232,15 @@ def sharded_search_sweep(
                     track_range=track_range, dtype=dtype, m_real=m_real,
                 )
             valid = id_t >= 0
-            s_masked = jnp.where(valid, scores, NEG_SCORE)
+            # Padding sentinel in the score dtype: the int32 NEG_SCORE
+            # would outrank a genuine beyond-int32-negative NW score on
+            # the direct s64 lane.
+            neg = (
+                jnp.asarray(-(2**63) + 1, jnp.int64)
+                if scores.dtype == jnp.int64
+                else NEG_SCORE
+            )
+            s_masked = jnp.where(valid, scores, neg)
             i_masked = jnp.where(valid, id_t, INVALID_ID)
             neg_s, ids_sorted = jax.lax.sort(
                 (-s_masked, i_masked), num_keys=2
@@ -608,6 +619,46 @@ class ShardedSearchEngine:
         self._plan_key = key
         return plan
 
+    def _plan_groups(self, requeue):
+        """Fault-gate the plan steps, then group healthy steps by padded
+        length and return ``(healthy, device_groups)``.
+
+        Per-step fault gate first (failed steps go to ``requeue``), then
+        each same-shape group runs as ONE SPMD dispatch (per-step
+        dispatches cost ~60 ms each through the tunnel). Device-resident
+        sharded stacks upload once per engine (a per-search upload costs
+        tens of seconds at Swiss-Prot scale; see
+        search.manager._stacks_on_device); only the fault-free full plan
+        is cached — injected faults change group membership.
+        """
+        healthy: dict[int, list] = {}
+        for step_idx, step in enumerate(self._chunk_plan()):
+            try:
+                if self.fault_injector is not None:
+                    self.fault_injector(step_idx)
+                healthy.setdefault(step[0].shape[1], []).append(step)
+            except Exception:
+                requeue(step[2])
+
+        cache_ok = self.fault_injector is None
+        dev = self._device_plan if cache_ok else None
+        if dev is None:
+            spec3 = P(None, "d")
+            dev = {}
+            for n_pad, steps in healthy.items():
+                codes = np.stack([c for c, _, _ in steps])
+                lens = np.stack([l for _, l, _ in steps])
+                ids = np.stack([i for _, _, i in steps])
+                dev[n_pad] = (
+                    put_global(codes, self.mesh, spec3, np.int8),
+                    put_global(lens, self.mesh, spec3),
+                    put_global(ids, self.mesh, spec3),
+                    ids,
+                )
+            if cache_ok:
+                self._device_plan = dev
+        return healthy, dev
+
     def search(self, q_codes, k, local=True, bit_width=None, stats=None):
         """Top-k (scores, ids), identical to the single-device engine."""
         import time as _time
@@ -631,20 +682,13 @@ class ShardedSearchEngine:
             BitWidth.BIT16: 32767,
         }.get(bit_width)
         if bit_width == BitWidth.BIT64:
-            # The mesh sweep runs the exact ladder (f32 rung + int64
-            # terminal escape rescue) — bit-identical scores; the DIRECT
-            # whole-DB int64 pass is the single-device engine's
-            # BitWidth.BIT64 lane (PARITY.md "BIT64").
-            stats.notes.append(
-                "BIT64 on the mesh: exact ladder with int64-terminal "
-                "escapes; direct int64 sweep is single-device"
-            )
-        # A BIT64 request overrides a pinned-int32 dtype: the int32 sweep
-        # is untracked (no window flags), so beyond-int32 scores would
-        # silently wrap — the 64-bit request demands the tracked f32
-        # sweep whose escapes rescue on the int64 lane below.
-        f32 = self.params.dtype == "float32" or bit_width == BitWidth.BIT64
-        dtype = jnp.float32 if f32 else jnp.int32
+            # r5 (VERDICT r4 missing #3): the mesh honors the DIRECT
+            # device-int64 sweep — same lane as the single-device
+            # engine's BIT64, sharded. The batched/fan-out mesh paths
+            # keep the exact-ladder + int64-terminal-escape design
+            # (PARITY.md "BIT64" explains the split per entry point).
+            return self._search_s64(q_codes, k, local, stats, profile, t0)
+        dtype = jnp.float32 if self.params.dtype == "float32" else jnp.int32
         eff_limit = limit
         if dtype == jnp.float32:
             eff_limit = min(limit, F32_WINDOW) if limit else F32_WINDOW
@@ -664,56 +708,17 @@ class ShardedSearchEngine:
             valid = ids >= 0
             sub = self.db.subset(ids[valid].astype(np.int32))
             rq = SearchStats()
-            # A BIT64 request under pinned int32 keeps its lane on the
-            # re-run (a bare int32 EXACT pass could wrap beyond-int32
-            # scores); under f32 the EXACT ladder's int64 terminal is
-            # already exact at any magnitude and avoids the s64 compile.
-            rbw = (
-                BitWidth.BIT64
-                if bit_width == BitWidth.BIT64
-                and self.params.dtype != "float32"
-                else BitWidth.EXACT
-            )
+            # BIT64 requests never reach here (they return from
+            # _search_s64 above); the EXACT ladder's terminal escape
+            # keeps the re-run exact under every dtype.
             r = self._fallback.__class__(
                 sub, self.matrix, self.gap_open, self.gap_extend, self.params
-            ).score_all(q_codes, local, rbw, rq)
+            ).score_all(q_codes, local, BitWidth.EXACT, rq)
             stats.merge(rq)
             all_s.append(r.astype(np.int64))
             all_i.append(ids[valid].astype(np.int32))
 
-        # Per-step fault gate first, then batch the healthy steps by shape
-        # and run each group as ONE SPMD dispatch (per-step dispatches cost
-        # ~60 ms each through the tunnel).
-        healthy: dict[int, list] = {}
-        for step_idx, step in enumerate(self._chunk_plan()):
-            try:
-                if self.fault_injector is not None:
-                    self.fault_injector(step_idx)
-                healthy.setdefault(step[0].shape[1], []).append(step)
-            except Exception:
-                _requeue(step[2])
-
-        # Device-resident sharded stacks: the DB uploads once per engine
-        # (a per-search upload costs tens of seconds at Swiss-Prot scale;
-        # see search.manager._stacks_on_device). Cache only the fault-free
-        # full plan — injected faults change group membership.
-        cache_ok = self.fault_injector is None
-        dev = self._device_plan if cache_ok else None
-        if dev is None:
-            spec3 = P(None, "d")
-            dev = {}
-            for n_pad, steps in healthy.items():
-                codes = np.stack([c for c, _, _ in steps])
-                lens = np.stack([l for _, l, _ in steps])
-                ids = np.stack([i for _, _, i in steps])
-                dev[n_pad] = (
-                    put_global(codes, self.mesh, spec3, np.int8),
-                    put_global(lens, self.mesh, spec3),
-                    put_global(ids, self.mesh, spec3),
-                    ids,
-                )
-            if cache_ok:
-                self._device_plan = dev
+        healthy, dev = self._plan_groups(_requeue)
 
         pending = []  # (ids (g, D*B), top_s, top_i, flags) device arrays
         for n_pad, steps in healthy.items():
@@ -793,14 +798,7 @@ class ShardedSearchEngine:
             stats.rescored[f"limit>{eff_limit}"] = len(over)
         else:
             over = np.empty(0, np.int32)
-        # BIT64 bypasses the dtype gate in _window_risk: the request
-        # forced the tracked f32 sweep above even under pinned int32, so
-        # its escapes must reach the rescue regardless of params.dtype.
-        risk = (
-            self._fallback._f32_bound_risk(m_real)
-            if bit_width == BitWidth.BIT64
-            else self._fallback._window_risk(m_real)
-        )
+        risk = self._fallback._window_risk(m_real)
         if len(over) and risk:
             # Genuine f32-window risk: real rescore on the fallback
             # engine. Emulated-width flags ALONE are elided exactly as in
@@ -814,17 +812,9 @@ class ShardedSearchEngine:
             # fallback, defeating the mesh.
             sub = self.db.subset(over)
             rescue_stats = SearchStats()
-            # Same lane rule as _requeue: BIT64 only needs the direct s64
-            # pass when a pinned-int32 dtype would make EXACT wrap.
-            rescue_bw = (
-                BitWidth.BIT64
-                if bit_width == BitWidth.BIT64
-                and self.params.dtype != "float32"
-                else BitWidth.EXACT
-            )
             rescored = self._fallback.__class__(
                 sub, self.matrix, self.gap_open, self.gap_extend, self.params
-            ).score_all(q_codes, local, rescue_bw, rescue_stats)
+            ).score_all(q_codes, local, BitWidth.EXACT, rescue_stats)
             stats.merge(rescue_stats, work=True)  # genuine extra work
             scores = np.concatenate([scores, rescored])
             ids = np.concatenate([ids, over])
@@ -840,6 +830,113 @@ class ShardedSearchEngine:
         # would keep it — with k beyond the real candidate count the
         # padding surfaced as garbage hits (review finding; the
         # single-device paths trim via n_valid).
+        real = ids != INVALID_ID
+        return host_topk(scores[real], ids[real], k)
+
+    def _search_s64(self, q_codes, k, local, stats, profile, t0):
+        """Direct device-int64 sweep on the mesh (VERDICT r4 missing #3).
+
+        ``BitWidth.BIT64`` runs the WHOLE sharded sweep in device s64 —
+        the same TRUE 64-bit lane the single-device engine's BIT64 runs
+        (SURVEY.md §2 P4 [DRIVER]: keep the 64-bit rung even where 32
+        bits suffice), not the exact ladder with int64-terminal escapes.
+        No window flags, no rescue pass: s64 is exact to 2**63 by
+        construction. The sweep is the scan kernel with the take-gather
+        (the Pallas kernel computes f32 unconditionally and s64 never
+        rides the MXU — interseq_scores enforces both), traced and
+        dispatched under a scoped x64 context; the device top-k merge
+        and the fetch stay int64 end to end (``_merged_topk`` preserves
+        the score dtype, the padding sentinel is the s64 minimum).
+        Re-queued faulty chunks run the single-device engine's direct
+        s64 lane for the same reason.
+        """
+        import time as _time
+
+        from ..constants import BitWidth, OutputMode
+        from ..ops.topk import host_topk
+        from ..search.manager import SearchStats
+        from ..util.logging import log
+
+        log(
+            OutputMode.INFO,
+            "BIT64 on the mesh: direct device-int64 sweep "
+            "(correctness-first; a cold TPU compile can take minutes — "
+            "persistently cached; see docs/PERF_NOTES.md)",
+        )
+        m_real = len(q_codes)
+        all_s: list[np.ndarray] = []
+        all_i: list[np.ndarray] = []
+
+        def _requeue(ids):
+            self.requeued_chunks += 1
+            valid = ids >= 0
+            sub = self.db.subset(ids[valid].astype(np.int32))
+            rq = SearchStats()
+            r = self._fallback.__class__(
+                sub, self.matrix, self.gap_open, self.gap_extend,
+                self.params,
+            ).score_all(q_codes, local, BitWidth.BIT64, rq)
+            stats.merge(rq)
+            all_s.append(r.astype(np.int64))
+            all_i.append(ids[valid].astype(np.int32))
+
+        healthy, dev = self._plan_groups(_requeue)
+        pending = []  # (ids (g, D*B), top_s, top_i) device arrays
+        for n_pad, steps in healthy.items():
+            codes_d, lens_d, ids_d, ids = dev[n_pad]
+            try:
+                with interseq.x64_scope(True):
+                    top_s, top_i, *_ = sharded_search_sweep(
+                        profile,
+                        codes_d,
+                        lens_d,
+                        ids_d,
+                        int(self.gap_q),
+                        int(self.gap_r),
+                        mesh=self.mesh,
+                        k=k,
+                        local=local,
+                        use_matmul=False,
+                        track_range=False,
+                        dtype=jnp.int64,
+                        m_real=m_real,
+                        kernel_impl="scan",
+                    )
+                stats.dispatches += 1
+                pending.append((ids, top_s, top_i))
+            except Exception:
+                for _, _, step_ids in steps:
+                    _requeue(step_ids)
+        if pending:
+            with interseq.x64_scope(True):
+                tops = fetch_global(
+                    jnp.concatenate(
+                        [
+                            jnp.concatenate(
+                                [s, i.astype(jnp.int64)], axis=1
+                            )
+                            for _, s, i in pending
+                        ],
+                        axis=0,
+                    )
+                )  # (sum_g, 2w) int64: scores then ids per row
+            stats.fetches += 1
+            w = tops.shape[1] // 2
+            off = 0
+            for ids, _, _ in pending:
+                g = ids.shape[0]
+                all_s.append(
+                    tops[off : off + g, :w].reshape(-1).astype(np.int64)
+                )
+                all_i.append(
+                    tops[off : off + g, w:].reshape(-1).astype(np.int32)
+                )
+                off += g
+        stats.cells += len(q_codes) * self.db.total_residues
+        stats.subjects += len(self.db)
+        stats.seconds += _time.perf_counter() - t0
+        scores = np.concatenate(all_s)
+        ids = np.concatenate(all_i)
         real = ids != INVALID_ID
         return host_topk(scores[real], ids[real], k)
 

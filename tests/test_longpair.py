@@ -204,3 +204,70 @@ def test_alphabet_sized_tree_exact(hi, K, local):
             q, s, B62.padded(), 11, 1, local=local, interpret=True
         )
         assert got == want, (m, n, hi, local)
+
+
+@pytest.mark.parametrize("tree", ["bf16", "packed8"])
+@pytest.mark.parametrize("ch", [8, 16, 32])
+@pytest.mark.parametrize("local", [True, False], ids=["sw", "nw"])
+def test_select_tree_impls_exact(tree, ch, local):
+    """Both select-tree data layouts are bit-exact at every band height
+    (r5: packed8 carries four int8 rows per int32 word and rebuilds the
+    f32 column with a shift-pair sign-extend — exercising negative
+    scores in every byte position)."""
+    from libssa_tpu.ops.longpair_pallas import longpair_score_pallas
+
+    rng = np.random.default_rng(ch * 3 + local + len(tree))
+    for m, n in [(45, 65), (260, 520)]:
+        q = rng.integers(0, 20, m).astype(np.uint8)
+        s = rng.integers(0, 20, n).astype(np.uint8)
+        want = (oracle.sw_score if local else oracle.nw_score)(
+            q, s, B62.scores, 10, 1
+        )
+        got = longpair_score_pallas(
+            q, s, B62.padded(), 11, 1, local=local, interpret=True, ch=ch,
+            tree=tree,
+        )
+        assert got == want, (m, n, ch, local, tree)
+
+
+def test_pack_planes_roundtrip():
+    """pack_planes byte layout: byte j of word w == row w + W*j, two's
+    complement, recoverable by the kernel's shift-pair unpack."""
+    from libssa_tpu.ops.longpair_pallas import pack_planes
+
+    rng = np.random.default_rng(9)
+    K, CH, B = 5, 16, 128
+    pq = rng.integers(-64, 12, (K, CH, B)).astype(np.int64)
+    word = pack_planes(pq)
+    assert word.shape == (K, CH // 4, B) and word.dtype == np.int32
+    W = CH // 4
+    for j in range(4):
+        g = (word >> (8 * j)) if j == 3 else (
+            ((word << (24 - 8 * j)).astype(np.int32)) >> 24
+        )
+        np.testing.assert_array_equal(g, pq[:, W * j : W * (j + 1)])
+    with pytest.raises(ValueError):
+        pack_planes(np.full((2, 8, 128), 200, np.int64))
+
+
+def test_packed_tree_auto_fallback_large_scores():
+    """Auto tree selection falls back to bf16 when |score| > 127 (the
+    Pallas paths admit up to 256); an explicit packed8 request raises."""
+    from libssa_tpu.ops.longpair_pallas import longpair_score_pallas
+
+    scores = np.full((32, 32), -64, np.int64)
+    A = 25  # protein-sized alphabet so auto picks packed8
+    scores[:A, :A] = -3
+    np.fill_diagonal(scores[:A, :A], 200)  # > 127, <= 256
+    rng = np.random.default_rng(4)
+    q = rng.integers(0, 25, 40).astype(np.uint8)
+    s = rng.integers(0, 25, 55).astype(np.uint8)
+    want = oracle.sw_score(q, s, scores[:A, :A], 11, 1)
+    got = longpair_score_pallas(
+        q, s, scores, 12, 1, local=True, interpret=True
+    )
+    assert got == want
+    with pytest.raises(ValueError):
+        longpair_score_pallas(
+            q, s, scores, 12, 1, local=True, interpret=True, tree="packed8"
+        )
