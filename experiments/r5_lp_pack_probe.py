@@ -75,6 +75,12 @@ def main():
 
     chs = [int(c) for c in opt("--ch", "16,32").split(",")]
     trees = opt("--trees", "bf16,packed8").split(",")
+    # Unroll study (r5): UNROLL_STEPS was tuned under the bf16 tree's
+    # vreg pressure; the packed tree frees registers. Must run in a
+    # fresh process per value (_build's lru_cache ignores the constant).
+    lp_unroll = int(opt("--unroll", "0"))
+    if lp_unroll:
+        lp.UNROLL_STEPS = lp_unroll
     sizes = [
         int(a)
         for a in args
@@ -106,9 +112,13 @@ def main():
     for N in sizes:
         q = rng.integers(0, 20, N).astype(np.uint8)
         s = rng.integers(0, 20, N).astype(np.uint8)
-        # K=21: the standard-AA plane count (codes 0..19 + pad) — one
-        # candidate rung below the current NCBI-alphabet 25.
-        K = 21 if "--k21" in args else lp.alphabet_planes(q, s)
+        # Pin the plane count (--k21/--k25) or derive it from the codes
+        # (standard-AA random codes now auto-select the r5 K=21 rung).
+        K = (
+            21 if "--k21" in args
+            else 25 if "--k25" in args
+            else lp.alphabet_planes(q, s)
+        )
         for CH in chs:
             unit = max(1024, 128 * CH)
             m_pad = max(unit, -(-N // unit) * unit)

@@ -43,15 +43,20 @@ devices. Consequences:
     the symbol lane vector by one, inject ``s[t]`` at lane 0.
   * Substitution scores come from a binary select tree over the
     per-symbol query planes ``Pq[a, r, b] = sub(q[8b + r], a)``
-    (VMEM-resident bf16, built outside) — no MXU, no gather, and no
+    (VMEM-resident, built outside) — no MXU, no gather, and no
     per-lane profile problem (the blocker that kept anti-diagonal
     formulations at ~1 GCUPS, docs/PERF_NOTES.md r2). The tree is
     ALPHABET-SIZED (K-1 selects over K planes, odd tails pass through):
     the PAD symbol is remapped from 31 to the first free code, so a
-    nucleotide pair selects over 16 planes (15 selects) and a protein
-    pair over 25 (24 selects) instead of a fixed 32 (31 selects) —
-    selects cost ~4-5 ns each, the difference between 53.8 and 62-93
-    GCUPS by alphabet (measured; PERF_NOTES r3).
+    nucleotide pair selects over 16 planes (15 selects) and a standard
+    protein pair over 21 (20 selects; rare-code sequences 25) instead
+    of a fixed 32 — selects cost ~4-5 ns each IN EITHER LAYOUT
+    (issue-bound on the mask+select sequence, not operand volume;
+    PERF_NOTES r3 + r5). Two data layouts (``tree_impl``): bf16 planes
+    for the small nucleotide trees, and for protein trees (K >= 21,
+    CH >= 32) the r5 packed-int8 layout — four int8 rows per int32
+    word, tree on the packed words, one shift-pair sign-extend unpack
+    per step — measured 95-109 GCUPS at 16k/32k protein vs 63-88 bf16.
   * State is ONE (8, B) H/E pair: memory O(m); the subject only streams
     as a (T,) symbol vector, so n is unbounded.
 
@@ -490,15 +495,18 @@ def longpair_score_pallas(
 def band_height(K: int, m: int) -> int:
     """Band height CH (rows per lane) for a query of m rows, K planes.
 
-    Trade-off (all measured on-chip, PERF_NOTES r3 "band height"): the
-    per-step lane rolls are serialized shuffles proportional to
-    B = m_pad/CH, and a smaller B also shortens the pipeline
-    (T = n + B) — but taller bands pay cross-vreg sublane rolls in the
-    confined lazy-F scan, and the sweet spot moves with the select-tree
-    size. Measured best cells: K=5 16k->CH16 / >=32k->CH32 (124 GCUPS at
-    32k); K=16 16k->CH16; K=25 16k->CH32 (80-88) / 32k->CH16 (68).
-    Small queries stay at CH8: their padding unit is 128*CH and they are
-    dispatch-bound anyway.
+    Trade-off (all measured on-chip, PERF_NOTES r3 "band height" + r5
+    "packed select tree"): the per-step lane rolls are serialized
+    shuffles proportional to B = m_pad/CH, and a smaller B also
+    shortens the pipeline (T = n + B) — but taller bands pay cross-vreg
+    sublane rolls in the confined lazy-F scan, and the sweet spot moves
+    with the select-tree size and layout. Measured best cells: K=5
+    16k->CH16 / >=32k->CH32 (124 GCUPS at 32k); K=16 16k->CH16;
+    K>=21 (protein, packed8 tree) -> CH32 at every large size (95-108
+    at 16k K=21, 104-109 at 32k K=25 — the r3-era CH16 rule for 32k
+    protein belonged to the bf16 tree, whose packed replacement needs
+    whole-vreg words, CH >= 32). Small queries stay at CH8: their
+    padding unit is 128*CH and they are dispatch-bound anyway.
     """
     if m < 8192:
         return 8
@@ -506,7 +514,7 @@ def band_height(K: int, m: int) -> int:
         return 16 if m <= 16384 else 32
     if K <= 16:
         return 16
-    return 32 if m <= 16384 else 16
+    return 32
 
 
 def alphabet_planes(*code_arrays) -> int:
@@ -515,12 +523,15 @@ def alphabet_planes(*code_arrays) -> int:
     The tree costs K-1 selects (~4.5 ns each, measured — the dominant
     per-step cost), so K is sized to the codes actually present: 5
     covers plain ACGT (the common genome-pair case), 16 the 15 IUPAC
-    nucleotide codes, 25 the 24 NCBI amino-acid codes (alphabet.py),
-    32 anything else. The kernel-side PAD symbol is remapped from
+    nucleotide codes, 21 the 20 standard amino acids (the common
+    protein case — rare-code sequences with B/Z/X/U/O take the next
+    rung), 25 the 24 NCBI amino-acid codes (alphabet.py), 32 anything
+    else. The kernel-side PAD symbol is remapped from
     ``PADDED_ALPHABET - 1`` to ``K - 1`` (the first free code);
     ``build_planes`` places the matrix's pad column/row there, so
-    scores are unchanged. Measured 16k x 16k SW rates (PERF_NOTES r3):
-    K=32 53.8, K=25 62.3, K=16 70.3 GCUPS.
+    scores are unchanged. Measured 16k x 16k SW rates: K=32 53.8,
+    K=25 62.3, K=16 70.3 (PERF_NOTES r3, bf16 tree); K=21 packed8
+    ~100-108 (PERF_NOTES r5).
     """
     maxc = max(
         (int(a.max()) for a in code_arrays if len(a)), default=0
@@ -529,19 +540,23 @@ def alphabet_planes(*code_arrays) -> int:
         return 5
     if maxc <= 14:
         return 16
+    if maxc <= 19:
+        return 21
     if maxc <= 23:
         return 25
     return PADDED_ALPHABET
 
 
 def tree_impl(K: int, CH: int) -> str:
-    """Select-tree data layout by alphabet size (measured, PERF_NOTES
-    r5): protein-and-larger trees (K >= 25) are select-bound, so the
-    packed-int8 layout's halved per-select volume wins; the small
-    nucleotide trees are not (the step floor is the serial lane rolls),
-    and the bf16 layout avoids the unpack's fixed ~25 ns. CH must hold
-    whole words (always true for the shipped heights 8/16/32)."""
-    return "packed8" if K >= 25 and CH % 4 == 0 else "bf16"
+    """Select-tree data layout by (alphabet, band height) — measured,
+    PERF_NOTES r5. Protein-and-larger trees (K >= 21) are select-bound:
+    the packed-int8 layout wins decisively there (K=25 CH=32: 92-95 vs
+    67-88 bf16; K=21: 95-108). Two gates: the small nucleotide trees
+    keep bf16 (4-15 selects don't amortize the fixed ~25 ns unpack),
+    and packing needs CH >= 32 so a packed plane's W = CH/4 >= 8
+    sublanes fill whole vregs — at CH=16 the (4, B) half-vreg operands
+    triggered a Mosaic relayout storm (measured 31 GCUPS vs 69 bf16)."""
+    return "packed8" if K >= 21 and CH >= 32 and CH % 4 == 0 else "bf16"
 
 
 def build_planes(

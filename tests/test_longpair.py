@@ -139,7 +139,8 @@ def test_alphabet_planes_rungs():
     a = np.array
     assert alphabet_planes(a([0, 3]), a([1])) == 5  # plain ACGT
     assert alphabet_planes(a([0, 14]), a([2])) == 16  # IUPAC nt
-    assert alphabet_planes(a([0, 23]), a([5])) == 25  # NCBI aa
+    assert alphabet_planes(a([0, 19]), a([7])) == 21  # standard 20 aa (r5)
+    assert alphabet_planes(a([0, 23]), a([5])) == 25  # NCBI aa incl. rare
     assert alphabet_planes(a([0, 24])) == 32  # defensive: full planes
     assert alphabet_planes(a([], dtype=np.int64)) == 5  # empty -> min
     # Query and subject ranges combine.
@@ -147,15 +148,25 @@ def test_alphabet_planes_rungs():
 
 
 def test_band_height_rule():
-    """CH lookup pins the measured-best cells (PERF_NOTES r3)."""
-    from libssa_tpu.ops.longpair_pallas import band_height
+    """CH lookup pins the measured-best cells (PERF_NOTES r3 + r5: the
+    packed select tree moved every large protein size to CH32)."""
+    from libssa_tpu.ops.longpair_pallas import band_height, tree_impl
 
     assert band_height(5, 4000) == 8  # small queries stay at CH8
     assert band_height(5, 16384) == 16
     assert band_height(5, 32768) == 32
     assert band_height(16, 16384) == 16
+    assert band_height(21, 16384) == 32
     assert band_height(25, 16384) == 32
-    assert band_height(25, 32768) == 16
+    assert band_height(25, 32768) == 32
+    # Tree layout policy: packed8 needs whole-vreg words (CH >= 32) and
+    # a select-bound tree (K >= 21); everything else keeps bf16.
+    assert tree_impl(21, 32) == "packed8"
+    assert tree_impl(25, 32) == "packed8"
+    assert tree_impl(25, 16) == "bf16"  # CH16: Mosaic relayout storm
+    assert tree_impl(25, 8) == "bf16"
+    assert tree_impl(16, 32) == "bf16"  # small trees: unpack not paid
+    assert tree_impl(5, 32) == "bf16"
 
 
 @pytest.mark.parametrize("ch", [16, 32])
@@ -178,7 +189,7 @@ def test_taller_bands_exact(ch, local):
         assert got == want, (m, n, ch, local)
 
 
-@pytest.mark.parametrize("hi,K", [(4, 5), (15, 16), (24, 25)])
+@pytest.mark.parametrize("hi,K", [(4, 5), (15, 16), (20, 21), (24, 25)])
 @pytest.mark.parametrize("local", [True, False], ids=["sw", "nw"])
 def test_alphabet_sized_tree_exact(hi, K, local):
     """Every K rung is bit-exact, including the unbalanced-tree odd-tail
