@@ -18,10 +18,11 @@ timed separately because they are different costs:
 Usage: /opt/venv/bin/python benchmarks/scale5m.py [--n-seqs N] [--queries Q]
 """
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -13,9 +13,13 @@ On each host of the slice run:
 Single-host slices (v5e-4/v5e-8): just `python examples/v5e16_scaling.py`.
 """
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
