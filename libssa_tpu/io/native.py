@@ -34,6 +34,13 @@ def _find_lib():
     ] + [
         os.path.join(here, "..", "..", "native", name) for name in _LIB_NAMES
     ]
+    from ..util.nativebuild import ensure_built
+
+    built = ensure_built("libfastadb.so", "fastadb.cpp")
+    if built:
+        # Prefer the lazily (re)built library: a stale/foreign-host copy
+        # (e.g. one committed from a different CPU) can SIGILL.
+        candidates.insert(0, built)
     for path in candidates:
         if os.path.exists(path):
             try:

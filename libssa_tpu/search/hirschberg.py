@@ -249,6 +249,34 @@ def _ops_m1(q, s, cost, g, h, tb, te):
     return ["D"] + ["I"] * n
 
 
+_warned_no_native_leaf = False
+
+
+def _warn_if_no_native_leaf():
+    """One-time WARNING when a huge-pair traceback runs without the
+    native leaf solver: the Python leaf fill is ~10x slower and the
+    degradation is otherwise silent (a missing/unbuilt
+    ``native/libleafalign.so`` cost a measured 0.6 s -> 5.3 s on the
+    100k x 100k SW demo before this guard existed)."""
+    global _warned_no_native_leaf
+    if _warned_no_native_leaf:
+        return
+    from .leafnative import native_available
+
+    if not native_available():
+        from ..constants import OutputMode
+        from ..util.logging import log
+
+        log(
+            OutputMode.WARNING,
+            "huge-pair traceback without the native leaf solver "
+            "(native/libleafalign.so not found): leaf fills fall back "
+            "to Python at ~10x the wall time; build it with "
+            "`make -C native` or `pip install .`",
+        )
+    _warned_no_native_leaf = True
+
+
 def _ops_leaf(q, s, cost, g, h, tb, te):
     """Leaf solve: the native C++ fill when built, else ``_ops_small``.
 
@@ -447,6 +475,8 @@ def align_pair_linear(
     g, h = Q - R, R
     cost = -sub.astype(np.int64)
     dev = _make_device_pair(q, s, sub, Q, R)
+    if dev is not None:
+        _warn_if_no_native_leaf()
 
     try:
         if local:

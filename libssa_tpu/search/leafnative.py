@@ -34,6 +34,13 @@ def _find_lib():
         os.path.join(here, "..", "io", "libleafalign.so"),
         os.path.join(here, "..", "..", "native", "libleafalign.so"),
     ]
+    from ..util.nativebuild import ensure_built
+
+    built = ensure_built("libleafalign.so", "leafalign.cpp")
+    if built:
+        # Prefer the lazily (re)built library: the wheel-shipped copies
+        # above may predate the source or another host's CPU.
+        candidates.insert(0, built)
     for path in candidates:
         if os.path.exists(path):
             try:
